@@ -1,0 +1,137 @@
+"""Engine constants — the reference's tuning tables, reproduced as data.
+
+Semantics sources (studied, not copied):
+  - weights / caps / decay: /root/reference/kgcompass/config.py:21-37
+  - noise-filter tables:    /root/reference/kgcompass/fl.py:66-100
+  - mention stopwords:      /root/reference/kgcompass/utils.py:612
+  - predicate vocabulary:   /root/reference/kgcompass/knowledge_graph.py:371-948
+These are pure data (regex/sets/floats); the reference's behaviour is defined
+by them, so P/R >= 0.95 requires byte-faithful values.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Caps & search limits (reference config.py:21-24)
+# ---------------------------------------------------------------------------
+MAX_CANDIDATE_METHODS = 500
+MAX_SEARCH_DEPTH = 2
+SEARCH_SPACE = 50
+NAME_SEARCH_CAP = 20          # fl.py:1692-1696
+FUZZY_FILE_TOP_K = 3          # knowledge_graph.py:735
+DOC_CANDIDATE_LIMIT = 8       # fl.py:2127-2128
+SIMILARITY_CANDIDATE_CAP = 10_000  # knowledge_graph.py:1177
+
+# ---------------------------------------------------------------------------
+# Connection weights — *lower is stronger* (path costs), config.py:27-30
+# ---------------------------------------------------------------------------
+CONNECTION_FACTOR = 0.5
+WEAK_CONNECTION = 1.0
+NORMAL_CONNECTION = WEAK_CONNECTION * CONNECTION_FACTOR    # 0.5
+STRONG_CONNECTION = NORMAL_CONNECTION * CONNECTION_FACTOR  # 0.25
+DOC_CONTEXT_MULTIPLIER = 1.5  # fl.py:2139
+
+# Ranking (config.py:36-37)
+DECAY_FACTOR = 0.6
+VECTOR_SIMILARITY_WEIGHT = 0.3
+
+# ---------------------------------------------------------------------------
+# Predicate vocabulary — the 17 symmetric pairs (knowledge_graph.py §2.6).
+# Key = forward predicate, value = reverse predicate.
+# ---------------------------------------------------------------------------
+PREDICATE_INVERSE: dict[str, str] = {
+    "contains directory": "contained in directory",
+    "contains file": "contained in directory",
+    "contains class": "contained in file",
+    "contains method": "contained in class",
+    "contains method in file": "contained in file",
+    "points to issue": "referenced by issue",
+    "points to file": "referenced by issue",
+    "points to method": "referenced by issue",
+    "points to class": "referenced by issue",
+    "points to commit": "referenced by issue",
+    "modified file": "modified by commit",
+    "modified by commit": "modified method",
+    "points to repair experience": "supports issue",
+    "mentions file": "mentioned by repair experience",
+    "points to documentation": "supports issue",
+    "mentions file by documentation": "mentioned by documentation",
+    "calls method": "called by method",
+}
+
+NODE_KINDS = (
+    "issue", "method", "class", "file", "directory",
+    "commit", "experience", "documentation",
+)
+
+# ---------------------------------------------------------------------------
+# Noise-filter tables (fl.py:66-100) — drop junk mentions before linking.
+# ---------------------------------------------------------------------------
+COMMON_WORD_REFERENCES = frozenset({
+    "actual", "behavior", "behaviour", "comparing", "description", "difference",
+    "expected", "extension", "problem", "reproduce", "result", "sometimes",
+    "traceback", "version", "warning", "begin", "end", "signature", "pgp",
+    "gnupg", "com", "org", "net", "edu", "gov", "html", "http", "https",
+    "value", "values", "comment", "comments", "keyword", "keywords", "gz",
+    "array", "collect", "copy", "data", "file", "files", "header", "headers",
+    "hdf5", "keyerror", "name", "ndarray", "none", "open", "pytables",
+    "true", "false", "attributeerror", "indexerror", "importerror",
+    "modulenotfounderror", "notimplemented", "notimplementederror",
+    "runtimeerror", "typeerror", "valueerror", "platform", "format", "lower",
+    "append", "count", "txt", "fr", "amd64", "arm64", "darwin", "linux",
+    "macos", "ubuntu", "win32", "win64", "windows", "x64", "x86", "x86_64",
+})
+
+NOISY_DUNDER_REFERENCES = frozenset({
+    "__call__", "__class__", "__dict__", "__getattr__", "__init__", "__iter__",
+    "__len__", "__module__", "__name__", "__repr__", "__setattr__", "__str__",
+    "__version__",
+})
+
+GENERIC_BASENAME_REFERENCES = frozenset({
+    "__init__", "base", "common", "compat", "conf", "config", "conftest",
+    "core", "io", "test", "tests", "ui", "utils",
+})
+
+NON_SOURCE_FILE_EXTENSIONS = frozenset({
+    ".cfg", ".csv", ".html", ".ini", ".json", ".md", ".rst", ".toml", ".txt",
+    ".xml", ".yaml", ".yml",
+})
+
+LOCAL_OR_STDLIB_QUALIFIED_PREFIXES = frozenset({
+    "c", "cls", "df", "filepath", "np", "numpy", "os", "pd", "platform",
+    "self", "sys", "tbl", "u",
+})
+
+GENERIC_QUALIFIED_TARGETS = frozenset({
+    "append", "count", "format", "lower", "open", "platform", "read",
+    "version", "transform", "write",
+})
+
+# Mention-extraction stopwords (utils.py:612 EXCLUDE_PATTERNS)
+MENTION_EXCLUDE_PATTERNS = frozenset({
+    "the", "this", "that", "readme", "todo", "note", "warning", "error", "pr",
+    "rfc", "python", "py", "pyc", "pyo", "pyd", "os", "sys", "io", "json",
+    "self", "import", "def", "try", "except", "finally", "with", "as", "if",
+    "else", "elif", "while", "for", "in", "is", "and", "or", "not", "none",
+    "true", "false", "null", "google", "github", "community", "com", "org",
+    "www", "http", "https", "hh", "mm", "dd", "uuuuuu", "do", "does",
+    "should", "please", "thanks", "thank", "wanted", "want", "however",
+    "instead", "what", "how", "when", "where", "seems", "seem", "patch",
+    "both", "name", "have", "to", "be", "can", "will", "may", "might",
+    "could", "would", "must", "need", "try", "use", "using", "get", "take",
+    "look", "root", "google.com", "github.com", "docs.djangoproject.com",
+    "developer", "already", "pending", "looking", "several", "java", "cpp",
+    "set", "dict", "int", "str", "float", "list", "tuple", "here", "you",
+    "your", "", "a", "an", "i", "he", "it", "they", "she", "s", "out", "fix",
+    "of", "open", "on", "off",
+})
+
+# ---------------------------------------------------------------------------
+# Spark-side knobs (ours, not the reference's)
+# ---------------------------------------------------------------------------
+DEFAULT_SHUFFLE_PARTITIONS = 32
+SKEW_SALT_BUCKETS = 8          # salting factor for hot mention tokens
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8              # 8 bands x 4 rows
+SIMHASH_BITS = 64

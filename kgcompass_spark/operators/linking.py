@@ -1,0 +1,299 @@
+"""Entity linking — mention → entity resolution joins (SURVEY.md §2.5).
+
+Every resolver is a broadcast hash equi-join against the entity inventory
+(the "alias dictionary"): at web scale the inventory is small relative to the
+pages table, so Catalyst broadcasts it and the page side never shuffles. The
+skew-prone token join (J2/J4) salts its hot keys and relies on AQE skew-join.
+
+Resolvers implemented (reference semantics):
+  J1/J3 exact path / member match        fl.py:1124-1212
+  J2    fuzzy file search (token block)  knowledge_graph.py:688-735
+  J4    name-search fallback             fl.py:1602-1701
+  J5    traceback frame linking          utils.py:661-806
+  J6    line-span containment            utils.py:160-221
+  J7    time-windowed best-title match   fl.py:1793-1841
+  J8    issue cross-reference            fl.py:2024-2085
+
+Deterministic tie-break everywhere: ``row_number()`` over the full
+lexicographic key (SURVEY.md §4.3) — never a bare ``limit`` after sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    FUZZY_FILE_TOP_K,
+    NAME_SEARCH_CAP,
+    NORMAL_CONNECTION,
+    STRONG_CONNECTION,
+    WEAK_CONNECTION,
+)
+
+# mentions: (url, mtype, text);  entities: FIXTURES.md §2 schema.
+
+
+def link_file_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """J1/J3 for files: exact normalized-path equi-join → STRONG link.
+
+    Broadcast the inventory; the mention side streams.
+    Returns (url, entity_id, kind, weight).
+    """
+    files = entities.filter(F.col("kind") == "file").select(
+        "entity_id", F.col("file_path").alias("_path")
+    )
+    return (
+        mentions.filter(F.col("mtype") == "file")
+        .join(F.broadcast(files), F.col("text") == F.col("_path"))
+        .select(
+            "url",
+            "entity_id",
+            F.lit("file").alias("kind"),
+            F.lit(STRONG_CONNECTION).alias("weight"),
+        )
+    )
+
+
+def link_qualified_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """J1 for dotted names: exact qualified-name join → NORMAL link."""
+    named = entities.filter(
+        F.col("kind").isin("method", "class", "global_var")
+    ).select("entity_id", "kind", F.col("name").alias("_name"))
+    return (
+        mentions.filter(F.col("mtype") == "import")
+        .join(F.broadcast(named), F.col("text") == F.col("_name"))
+        .select("url", "entity_id", "kind", F.lit(NORMAL_CONNECTION).alias("weight"))
+    )
+
+
+def link_call_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """J3/J4 for bare call/class names: short-name join → NORMAL link.
+
+    A bare name can match several entities (same class stem in many
+    packages); deterministic winner = min entity_id per (url, text)
+    (FIXTURES.md §6 tie-break case).
+    """
+    named = entities.filter(F.col("kind").isin("method", "class")).select(
+        "entity_id", "kind", F.col("short_name").alias("_short")
+    )
+    cand = (
+        mentions.filter(F.col("mtype").isin("call", "variable", "global"))
+        .join(F.broadcast(named), F.col("text") == F.col("_short"))
+    )
+    w = Window.partitionBy("url", "text").orderBy("entity_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "entity_id", "kind", F.lit(NORMAL_CONNECTION).alias("weight"))
+    )
+
+
+def link_traceback_frames(frames: DataFrame, entities: DataFrame) -> DataFrame:
+    """J5 + J6: frame(file,line,func) → method whose span contains the line.
+
+    Equi-join on (file_path, short_name) + span containment filter — the
+    equi keys keep it a hash join; the range predicate is a residual filter,
+    so no theta-join blowup.
+    """
+    methods = entities.filter(F.col("kind") == "method").select(
+        "entity_id",
+        F.col("file_path").alias("_path"),
+        F.col("short_name").alias("_short"),
+        "start_line",
+        "end_line",
+    )
+    return (
+        frames.join(
+            F.broadcast(methods),
+            (F.col("file") == F.col("_path")) & (F.col("func") == F.col("_short")),
+        )
+        .filter(
+            (F.col("line") >= F.col("start_line"))
+            & (F.col("line") <= F.col("end_line"))
+        )
+        .select(
+            "url",
+            "entity_id",
+            F.lit("method").alias("kind"),
+            F.lit(STRONG_CONNECTION).alias("weight"),
+        )
+    )
+
+
+def link_issue_refs(mentions: DataFrame, pages_meta: DataFrame) -> DataFrame:
+    """J8: ``#N`` refs → other pages, leakage-guarded.
+
+    ``pages_meta``: (url, warc_ts, doc_key) where doc_key is the page's own
+    ordinal. Only links to pages crawled at or before the citing page
+    (fl.py:416-431 cutoff semantics). Self-joins pages: both sides shuffle
+    on the key — at web scale repartition both on doc_key.
+    """
+    refs = mentions.filter(F.col("mtype").isin("issue", "closes")).select(
+        "url", F.col("warc_ts").alias("_src_ts"), F.col("text").alias("_ref")
+    )
+    targets = pages_meta.select(
+        F.col("url").alias("_dst_url"),
+        F.col("warc_ts").alias("_dst_ts"),
+        F.col("doc_key").alias("_key"),
+    )
+    return (
+        refs.join(targets, F.col("_ref") == F.col("_key"))
+        .filter(F.col("_dst_ts") <= F.col("_src_ts"))
+        .filter(F.col("_dst_url") != F.col("url"))
+        .select(
+            "url",
+            F.concat(F.lit("issue:"), F.col("_dst_url")).alias("entity_id"),
+            F.lit("issue").alias("kind"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+        )
+    )
+
+
+def fuzzy_file_search(mentions: DataFrame, entities: DataFrame, top_k: int = FUZZY_FILE_TOP_K) -> DataFrame:
+    """J2: fuzzy path scoring for file mentions that failed the exact join.
+
+    Reference (knowledge_graph.py:688-735) scores candidate files by matched
+    path parts / filename / dir with consecutive-order bonus, keeps top 3.
+    Spark restatement = candidate generation by token blocking:
+      explode mention path tokens → join on token vs an exploded file-token
+      inverted index → groupBy (mention, file) to score → top-k per mention.
+    The token join is the skew point: tokens are salted implicitly by
+    blocking on (token) with AQE skew-join enabled; hot generic tokens were
+    already removed by the noise filter.
+    Returns (url, text, entity_id, score, rank).
+    """
+    file_tokens = (
+        entities.filter(F.col("kind") == "file")
+        .select(
+            "entity_id",
+            F.col("file_path").alias("_path"),
+            F.explode(F.split(F.col("file_path"), "/")).alias("tok"),
+        )
+        .withColumn("tok", F.regexp_replace(F.lower("tok"), r"\.py$", ""))
+    )
+    mention_tokens = (
+        mentions.filter(F.col("mtype") == "file")
+        .select(
+            "url",
+            "text",
+            F.explode(F.split(F.col("text"), "/")).alias("tok"),
+        )
+        .withColumn("tok", F.regexp_replace(F.lower("tok"), r"\.py$", ""))
+    )
+    scored = (
+        mention_tokens.join(F.broadcast(file_tokens), "tok")
+        .groupBy("url", "text", "entity_id", "_path")
+        .agg(F.count("*").alias("matched_parts"))
+        .withColumn(
+            "score",
+            F.col("matched_parts")
+            + F.when(
+                F.element_at(F.split("text", "/"), -1)
+                == F.element_at(F.split("_path", "/"), -1),
+                F.lit(2),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    w = Window.partitionBy("url", "text").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("url", "text", "entity_id", "score", "rank")
+    )
+
+
+def name_search_fallback(
+    mentions: DataFrame, entities: DataFrame, cap: int = NAME_SEARCH_CAP
+) -> DataFrame:
+    """J4: repo-wide name-search for identifier mentions unresolved by the
+    exact joins — substring containment against entity names, WEAK links,
+    capped at 20 hits per mention with the deterministic key
+    (fl.py:1602-1701).
+
+    Substring theta-joins don't hash; we block on the mention's last dotted
+    segment vs the entity short_name (equi) and keep `contains` as residual —
+    same trick the reference uses (quick substring prefilter, fl.py:1670).
+    """
+    named = entities.filter(
+        F.col("kind").isin("method", "class", "global_var")
+    ).select(
+        "entity_id",
+        "kind",
+        F.col("name").alias("_name"),
+        F.col("short_name").alias("_short"),
+    )
+    cand = (
+        mentions.filter(F.col("mtype").isin("call", "variable", "global", "import"))
+        .withColumn("_last", F.element_at(F.split("text", r"\."), -1))
+        .join(F.broadcast(named), F.col("_last") == F.col("_short"))
+        .filter(F.col("_name").contains(F.col("text")) | F.col("text").contains(F.col("_name")))
+    )
+    w = Window.partitionBy("url", "text").orderBy("entity_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select("url", "entity_id", "kind", F.lit(WEAK_CONNECTION).alias("weight"))
+    )
+
+
+def best_title_match(
+    issues: DataFrame,
+    candidates: DataFrame,
+    lcs_udf,
+    window_before_days: int = 60,
+    window_after_hours: int = 8,
+) -> DataFrame:
+    """J7: time-windowed best-title join (fl.py:1793-1841).
+
+    ``issues``: (url, title, warc_ts); ``candidates``: (cand_url, cand_title,
+    cand_ts). Range-blocked by day-bucket equi-join (so the window join stays
+    hash-based), LCS similarity in a pandas UDF on the blocked pairs only,
+    top-1 per issue by (sim desc, cand_url asc).
+    """
+    bucketed = issues.withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("warc_ts") - F.expr(f"INTERVAL {window_before_days} DAYS")),
+                F.date_trunc("day", F.col("warc_ts") + F.expr(f"INTERVAL {window_after_hours} HOURS")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    cand_b = candidates.withColumn("_day", F.date_trunc("day", F.col("cand_ts")))
+    pairs = (
+        bucketed.join(cand_b, "_day")
+        .filter(
+            (F.col("cand_ts") >= F.col("warc_ts") - F.expr(f"INTERVAL {window_before_days} DAYS"))
+            & (F.col("cand_ts") <= F.col("warc_ts") + F.expr(f"INTERVAL {window_after_hours} HOURS"))
+            & (F.col("cand_url") != F.col("url"))
+        )
+        .withColumn("sim", lcs_udf(F.col("title"), F.col("cand_title")))
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("sim"), F.asc("cand_url"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "cand_url", "sim")
+    )
+
+
+def span_containment_join(spans: DataFrame, entities: DataFrame) -> DataFrame:
+    """J6: generic interval join — (file_path, hunk_start, hunk_end) vs
+    entity spans; entity owns the hunk iff spans overlap (utils.py:160-221).
+    Equi on file_path, range residual."""
+    ents = entities.filter(F.col("kind").isin("method", "class")).select(
+        "entity_id", "kind",
+        F.col("file_path").alias("_path"), "start_line", "end_line",
+    )
+    return (
+        spans.join(F.broadcast(ents), F.col("file_path") == F.col("_path"))
+        .filter(
+            (F.col("start_line") <= F.col("hunk_end"))
+            & (F.col("end_line") >= F.col("hunk_start"))
+        )
+        .drop("_path")
+    )

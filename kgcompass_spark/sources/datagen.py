@@ -1,0 +1,315 @@
+"""Deterministic synthetic fixture generator (FIXTURES.md contract).
+
+Generates, for a given scale (n_pages) and seed:
+  - ``pages(url, warc_ts, html, text, lang)``      — Common-Crawl-style input
+  - ``entities(...)``                              — synthetic code inventory
+  - ``golden_triples(subj, predicate, obj, weight, src_url)``
+  - ``golden_text(url, extracted_text)``           — byte-identical check
+
+The generator knows which mentions it planted and which entity each must
+link to, so goldens are computed analytically (FIXTURES.md §3). All
+randomness from ``random.Random(seed)`` — same seed ⇒ identical corpus.
+
+Scale note: this is driver-side generation for tests/bench (≤ a few hundred
+MB). At 100 TB the pages table is a pre-existing Iceberg/parquet input; the
+generator also exposes ``pages_dataframe_distributed`` which builds rows
+inside ``mapInPandas`` from an id range so nothing materializes on the
+driver.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from ..config import NORMAL_CONNECTION, STRONG_CONNECTION, WEAK_CONNECTION
+from ..functions.html import extract_text_from_html
+
+EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
+CUTOFF = EPOCH + timedelta(days=300)  # pages after this are leakage-filtered
+
+# ---------------------------------------------------------------------------
+# Synthetic repo inventory (the alias dictionary)
+# ---------------------------------------------------------------------------
+
+_PKGS = ["alphacore", "alphacore/engine", "webstack", "webstack/handlers"]
+_FILE_STEMS = ["parser", "scheduler", "renderer", "session_mgr", "token_stream"]
+_CLASS_STEMS = ["Parser", "Scheduler", "Renderer", "SessionMgr", "TokenStream"]
+_METHODS = ["parse_block", "run_cycle", "render_frame", "close_handle", "emit_token"]
+_GLOBALS = ["MAX_RETRY_LIMIT", "DEFAULT_POOL_SIZE"]
+
+
+@dataclass
+class Corpus:
+    pages: list[dict] = field(default_factory=list)
+    entities: list[dict] = field(default_factory=list)
+    golden_triples: list[dict] = field(default_factory=list)
+    golden_text: list[dict] = field(default_factory=list)
+
+
+def _mk_entities() -> list[dict]:
+    """Consistent tree: directories ⊃ files ⊃ classes ⊃ methods + globals."""
+    ents: list[dict] = []
+
+    def add(kind, name, short, sig, path, s, e, aliases):
+        ents.append(
+            dict(
+                entity_id=f"{kind}:{name}@{path}" if kind in ("class", "method", "global_var") else f"{kind}:{path}",
+                kind=kind,
+                name=name,
+                short_name=short,
+                signature=sig,
+                file_path=path,
+                start_line=s,
+                end_line=e,
+                doc_string="",
+                aliases=aliases,
+            )
+        )
+
+    for d in _PKGS:
+        add("directory", d.replace("/", "."), d.split("/")[-1], "", d, 0, 0, [d.split("/")[-1]])
+    for pi, pkg in enumerate(_PKGS):
+        for fi, stem in enumerate(_FILE_STEMS):
+            path = f"{pkg}/{stem}.py"
+            module = path[:-3].replace("/", ".")
+            add("file", module, f"{stem}.py", "", path, 0, 0, [f"{stem}.py", stem])
+            cls = _CLASS_STEMS[fi]
+            cls_q = f"{module}.{cls}"
+            line = 10
+            add("class", cls_q, cls, f"class {cls}", path, line, line + 90, [cls])
+            for mi, m in enumerate(_METHODS[: 3 + (pi + fi) % 3]):
+                mq = f"{cls_q}.{m}"
+                s = line + 5 + mi * 20
+                add("method", mq, m, f"{m}(self, value)", path, s, s + 15, [m, f"{cls}.{m}"])
+            gv = _GLOBALS[(pi + fi) % len(_GLOBALS)]
+            add("global_var", f"{module}.{gv}", gv, f"{gv} = 8", path, 3, 3, [gv])
+    return ents
+
+
+def _structural_triples(entities: list[dict]) -> list[dict]:
+    """contains directory/file/class/method goldens (SURVEY.md §2.6)."""
+    out = []
+    by_path: dict[str, dict] = {e["file_path"]: e for e in entities if e["kind"] == "file"}
+    for e in entities:
+        if e["kind"] == "directory" and "/" in e["file_path"]:
+            parent = e["file_path"].rsplit("/", 1)[0]
+            out.append(
+                dict(subj=f"directory:{parent}", predicate="contains directory",
+                     obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+            )
+        elif e["kind"] == "file":
+            parent = e["file_path"].rsplit("/", 1)[0]
+            out.append(
+                dict(subj=f"directory:{parent}", predicate="contains file",
+                     obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+            )
+        elif e["kind"] == "class":
+            f = by_path[e["file_path"]]
+            out.append(
+                dict(subj=f["entity_id"], predicate="contains class",
+                     obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+            )
+        elif e["kind"] == "method":
+            cls_q = e["name"].rsplit(".", 1)[0]
+            out.append(
+                dict(subj=f"class:{cls_q}@{e['file_path']}", predicate="contains method",
+                     obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+            )
+    return out
+
+
+def _page_url(i: int) -> str:
+    return f"https://tracker.example.org/project/issues/{i}"
+
+
+def _wrap_html(body_text: str, rng: random.Random) -> bytes:
+    """Issue-page HTML whose extraction is exactly ``body_text`` — plus
+    noise the extractor must drop (comments, script, style)."""
+    paras = "\n".join(f"<p>{p}</p>" for p in body_text.split("\n"))
+    noise_comment = "<!-- tracking-id: %d -->" % rng.randrange(10**6)
+    return (
+        "<html><head><title>x</title><script>var a=1;</script>"
+        "<style>p{color:red}</style></head><body>"
+        f"{noise_comment}{paras}</body></html>"
+    ).encode("utf-8")
+
+
+def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
+    rng = random.Random(seed)
+    corpus = Corpus()
+    entities = _mk_entities()
+    corpus.entities = entities
+    corpus.golden_triples.extend(_structural_triples(entities))
+
+    files = [e for e in entities if e["kind"] == "file"]
+    methods = [e for e in entities if e["kind"] == "method"]
+    classes = [e for e in entities if e["kind"] == "class"]
+
+    page_ts: dict[int, datetime] = {}
+    for i in range(n_pages):
+        page_ts[i] = EPOCH + timedelta(hours=i * 7 % (24 * 280), minutes=i % 60)
+
+    for i in range(n_pages):
+        url = _page_url(i)
+        ts = page_ts[i]
+        late = i % 37 == 36  # FIXTURES §6: post-cutoff leakage page
+        if late:
+            ts = CUTOFF + timedelta(days=1 + i % 5)
+        noise_only = i % 41 == 40
+        lang = "de" if i % 53 == 52 else "en"
+
+        lines: list[str] = [f"Issue {i}: crash in module pipeline run {i}."]
+        expected: list[dict] = []
+
+        if not noise_only:
+            # file-path mention (M1 → J1/J3 STRONG link)
+            fent = files[(i * 3) % len(files)]
+            lines.append(f"The failure happens in {fent['file_path']} on load.")
+            expected.append(
+                dict(subj=f"issue:{url}", predicate="points to file",
+                     obj=fent["entity_id"], weight=STRONG_CONNECTION, src_url=url)
+            )
+            # qualified method mention (M4 import → exact name match, NORMAL)
+            ment = methods[(i * 5) % len(methods)]
+            lines.append(f"Calling `{ment['name']}` raises an error.")
+            expected.append(
+                dict(subj=f"issue:{url}", predicate="points to method",
+                     obj=ment["entity_id"], weight=NORMAL_CONNECTION, src_url=url)
+            )
+            # class mention via Call pattern (M4 call → class short-name match).
+            # The same class stem exists in several packages, so this is the
+            # FIXTURES §6 "mention resolvable to 2+ entities" case: the
+            # expected winner is the deterministic tie-break (min entity_id).
+            if i % 2 == 0:
+                cent = classes[(i * 7) % len(classes)]
+                lines.append(f"Constructing {cent['short_name']}() returns None.")
+                winner = min(
+                    (c for c in classes if c["short_name"] == cent["short_name"]),
+                    key=lambda c: c["entity_id"],
+                )
+                expected.append(
+                    dict(subj=f"issue:{url}", predicate="points to class",
+                         obj=winner["entity_id"], weight=NORMAL_CONNECTION, src_url=url)
+                )
+            # traceback block (M7 → J5 span link, STRONG). The frame's file
+            # path is also an M1 file mention → Issue→File link too.
+            if i % 3 == 0:
+                tmeth = methods[(i * 11) % len(methods)]
+                tline = tmeth["start_line"] + 2
+                lines.append("Traceback (most recent call last):")
+                lines.append(
+                    f'File "{tmeth["file_path"]}", line {tline}, in {tmeth["short_name"]}'
+                )
+                lines.append("ValueError: bad frame")
+                expected.append(
+                    dict(subj=f"issue:{url}", predicate="points to method",
+                         obj=tmeth["entity_id"], weight=STRONG_CONNECTION, src_url=url)
+                )
+                expected.append(
+                    dict(subj=f"issue:{url}", predicate="points to file",
+                         obj=f"file:{tmeth['file_path']}",
+                         weight=STRONG_CONNECTION, src_url=url)
+                )
+            # issue cross-reference (M2 → J8), only to earlier pages
+            if i > 3 and i % 4 == 1:
+                j = rng.randrange(0, i - 1)
+                lines.append(f"Possibly related to #{j} reported earlier.")
+                # leakage rule: only link if the referenced page's ts <= ours
+                if page_ts[j] <= ts and not (j % 37 == 36):
+                    expected.append(
+                        dict(subj=f"issue:{url}", predicate="points to issue",
+                             obj=f"issue:{_page_url(j)}",
+                             weight=NORMAL_CONNECTION, src_url=url)
+                    )
+        # noise every page: must NOT produce triples
+        lines.append("See the `description` and `traceback` for details.")
+        lines.append("Contact maintainer@example.com or visit docs.example.com now.")
+        lines.append("The __init__ and __repr__ look fine.")
+
+        body = "\n".join(lines)
+        html = _wrap_html(body, rng)
+        has_text = i % 2 == 0  # half the pages exercise the HTML path
+        extracted = extract_text_from_html(html)
+        corpus.pages.append(
+            dict(
+                url=url,
+                warc_ts=ts,
+                html=html,
+                text=body if has_text else None,
+                lang=lang,
+            )
+        )
+        corpus.golden_text.append(dict(url=url, extracted_text=extracted))
+        if not late and lang == "en":
+            corpus.golden_triples.extend(expected)
+
+    # FIXTURES §6: duplicate page (same url, two crawl timestamps)
+    if n_pages > 10:
+        dup = dict(corpus.pages[5])
+        dup["warc_ts"] = dup["warc_ts"] + timedelta(hours=2)
+        corpus.pages.append(dup)
+        # empty html / non-UTF-8 rows — skipped without error, no goldens
+        corpus.pages.append(
+            dict(url="https://tracker.example.org/project/issues/empty",
+                 warc_ts=EPOCH, html=b"", text=None, lang="en")
+        )
+        corpus.pages.append(
+            dict(url="https://tracker.example.org/project/issues/badbytes",
+                 warc_ts=EPOCH, html=b"\xff\xfe\x00bad", text=None, lang="en")
+        )
+    return corpus
+
+
+# ---------------------------------------------------------------------------
+# Spark materialization
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+ENTITIES_SCHEMA = (
+    "entity_id string, kind string, name string, short_name string, "
+    "signature string, file_path string, start_line int, end_line int, "
+    "doc_string string, aliases array<string>"
+)
+TRIPLES_SCHEMA = (
+    "subj string, predicate string, obj string, weight double, src_url string"
+)
+
+
+def corpus_dataframes(spark, n_pages: int = 200, seed: int = 42):
+    """Materialize the corpus as four DataFrames."""
+    c = generate_corpus(n_pages, seed)
+    pages = spark.createDataFrame(c.pages, schema=PAGES_SCHEMA)
+    entities = spark.createDataFrame(c.entities, schema=ENTITIES_SCHEMA)
+    goldens = spark.createDataFrame(c.golden_triples, schema=TRIPLES_SCHEMA)
+    golden_text = spark.createDataFrame(
+        c.golden_text, schema="url string, extracted_text string"
+    )
+    return pages, entities, goldens, golden_text
+
+
+def pages_dataframe_distributed(spark, n_pages: int, seed: int = 42, partitions: int = 32):
+    """Bench-scale page generation that never materializes on the driver:
+    a range → mapInPandas generator. Page i is identical to the driver-side
+    generator's page i (same per-index derivation), so bench inputs are
+    reproducible at any scale."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                sub = generate_corpus(1, seed + i)  # seed-shifted single page
+                p = sub.pages[0]
+                p["url"] = _page_url(i)
+                rows.append(p)
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    return (
+        spark.range(0, n_pages, numPartitions=partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
