@@ -1,38 +1,599 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline addition) expressed over the driver's testdata
+tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column names
+and rounding are aligned on both sides so the order-insensitive value-hash
+matches. Non-SQL-expressible ops (MinHash-LSH, SimHash, PageRank,
+fingerprinting, the KG pipeline itself) have queries-only entries → the
+driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document-pipeline summary over sf0.001 — exact-dedup,
+    quality scoring, language ID and token stats on the documents table
+    (the Common-Crawl-style input analog)."""
+    from kgcompass_spark.functions.text_quality import (
+        detect_language,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("content_hash"),
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round(quality_score(F.col("text")), 4).alias("quality"),
+            detect_language(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("content_hash").alias("n_unique"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------------
+
+def _a1_time_validity(spark, sf_dir):
+    """A1: artifact time-validity counters (fl.py:416-431 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return ev.agg(
+        F.countDistinct(F.when(F.col("ts") <= cutoff, F.col("event_id"))).alias("valid_cnt"),
+        F.countDistinct(F.when(F.col("ts") > cutoff, F.col("event_id"))).alias("skipped_cnt"),
+    )
+
+
+def _a6_pricing_summary(spark, sf_dir):
+    """A6: eval totals (TPC-H-Q1-shaped groupBy aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _t1_topk_orders(spark, sf_dir):
+    """T1: similarity top-k analog — global ordered limit with full
+    deterministic tie-break (knowledge_graph.py:667-668)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def _t2_pertype_rank(spark, sf_dir):
+    """T2: per-type ranked truncation (row_number ≤ k per partition)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "rnk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def _t3_dedup_keepone(spark, sf_dir):
+    """T3: per-key keep-one dedup (latest order per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+
+
+def _j6_interval_join(spark, sf_dir):
+    """J6: span/interval join — lineitems shipped within 90 days of order
+    date (equi on orderkey + range residual, utils.py:160-221 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+def _j7_timewindow_join(spark, sf_dir):
+    """J7: time-windowed join — clicks by the same user within 1h before
+    each error event (fl.py:1793-1841 window-join shape)."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u"), F.col("ts").alias("err_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("clk_ts")
+    )
+    joined = err.join(
+        clk,
+        (err["u"] == clk["u"])
+        & (clk["clk_ts"] >= err["err_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (clk["clk_ts"] < err["err_ts"]),
+        "left",
+    )
+    return joined.groupBy("err_id").agg(
+        F.sum(F.when(F.col("clk_ts").isNotNull(), 1).otherwise(0)).alias("n_prior_clicks")
+    )
+
+
+def _j11_anti_join(spark, sf_dir):
+    """J11/U2: anti-membership — customers with no orders, by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _u4_union_dedup(spark, sf_dir):
+    """U4: union-then-dedup across sources (candidate-union shape)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def _p8_token_extract(spark, sf_dir):
+    """P8/M-battery analog: token extraction + frequency over documents
+    (explode → groupBy → deterministic top-20)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _p10_levenshtein(spark, sf_dir):
+    """P10: normalized Levenshtein similarity (builtin, JVM-side)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    target = F.lit("Customer#000000001")
+    denom = F.greatest(F.length("c_name"), F.length(target))
+    return c.select(
+        "c_custkey",
+        F.round(1.0 - F.levenshtein("c_name", target) / denom.cast("double"), 4).alias("lev_sim"),
+    )
+
+
+def _p11_cosine_topk(spark, sf_dir):
+    """P11/simsearch: brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from kgcompass_spark.operators.simsearch import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", "rank", F.round("cosine", 4).alias("cos_sim"))
+
+
+def _dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: md5 content-hash groups over documents."""
+    from kgcompass_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select("content_hash", "dup_count", "keeper_id")
+
+
+def _text_stats(spark, sf_dir):
+    """Token/char counts per document (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    from kgcompass_spark.functions.text_quality import token_count
+
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _text_distinct_ratio(spark, sf_dir):
+    """Quality sub-metric: distinct-token ratio per doc (repetition)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+    return d.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 4).alias("distinct_ratio"),
+    )
+
+
+def _lang_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _g8_connected_components(spark, sf_dir):
+    """G8: connected components over the per-customer order chain graph.
+
+    Edges: consecutive orders of the same customer → each customer's orders
+    form one component whose id is the min orderkey. SQL-checkable (the
+    oracle computes min over the customer partition), while the Spark side
+    runs the real iterative large-star/small-star CC.
+    """
+    from kgcompass_spark.operators.graph import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("dst"),
+        F.lag("o_orderkey").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    # CC node ids are strings; zero-pad so the string min used for the
+    # component id agrees with the numeric min the oracle computes.
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    edges = chain.select(pad(F.col("src")).alias("src"), pad(F.col("dst")).alias("dst"))
+    cc = connected_components(edges)
+    # singletons (customers with one order) are their own component
+    all_nodes = o.select(pad(F.col("o_orderkey")).alias("node"))
+    full = (
+        all_nodes.join(cc, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("o_orderkey"),
+            F.coalesce(F.col("component"), F.col("node")).cast("long").alias("component"),
+        )
+    )
+    return full
+
+
+def _g2_bfs_hops(spark, sf_dir):
+    """G2: bounded BFS over the region←nation←customer tree from one root;
+    oracle = recursive CTE computing min hop counts."""
+    from kgcompass_spark.operators.graph import bounded_sssp
+
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    e1 = n.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("subj"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    e2 = c.select(
+        F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("subj"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    out = bounded_sssp(e1.unionByName(e2), "region:0", max_hops=2)
+    return out.select("node", "hops")
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def _minhash_near_dups(spark, sf_dir):
+    from kgcompass_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    return minhash_lsh_candidates(sigs).filter(F.col("n_shared_bands") >= 2)
+
+
+def _simhash_docs(spark, sf_dir):
+    from kgcompass_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _fingerprint_docs(spark, sf_dir):
+    from kgcompass_spark.functions.text_quality import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _detect_language_docs(spark, sf_dir):
+    from kgcompass_spark.functions.text_quality import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language(F.col("text")).alias("detected"))
+
+
+def _lsh_cosine_topk(spark, sf_dir):
+    from kgcompass_spark.operators.simsearch import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+def _g6_pagerank(spark, sf_dir):
+    from kgcompass_spark.operators.graph import pagerank
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    e1 = n.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("subj"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    e2 = s.select(
+        F.concat(F.lit("nation:"), F.col("s_nationkey")).alias("subj"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("supplier:"), F.col("s_suppkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    return pagerank(e1.unionByName(e2), iters=12).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
+def _kg_pipeline_triples(spark, sf_dir):
+    """The KG-construction pipeline itself on the deterministic fixture
+    corpus — counts per predicate (rows-only; DuckDB can't run the Arrow
+    UDF + linking pipeline)."""
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.sources.datagen import CUTOFF, corpus_dataframes
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=120)
+    out = build_kg(pages, entities, cutoff=CUTOFF)
+    return (
+        out["triples"]
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n"), F.round(F.avg("weight"), 4).alias("avg_weight"))
+        .orderBy("predicate")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked
+        "a1_time_validity": _a1_time_validity,
+        "a6_pricing_summary": _a6_pricing_summary,
+        "t1_topk_orders": _t1_topk_orders,
+        "t2_pertype_rank": _t2_pertype_rank,
+        "t3_dedup_keepone": _t3_dedup_keepone,
+        "j6_interval_join": _j6_interval_join,
+        "j7_timewindow_join": _j7_timewindow_join,
+        "j11_anti_join": _j11_anti_join,
+        "u4_union_dedup": _u4_union_dedup,
+        "p8_token_extract": _p8_token_extract,
+        "p10_levenshtein": _p10_levenshtein,
+        "p11_cosine_topk": _p11_cosine_topk,
+        "dedup_exact_docs": _dedup_exact_docs,
+        "text_stats": _text_stats,
+        "text_distinct_ratio": _text_distinct_ratio,
+        "lang_distribution": _lang_distribution,
+        "g8_connected_components": _g8_connected_components,
+        "g2_bfs_hops": _g2_bfs_hops,
+        # rows-only
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_docs": _simhash_docs,
+        "fingerprint_docs": _fingerprint_docs,
+        "detect_language_docs": _detect_language_docs,
+        "lsh_cosine_topk": _lsh_cosine_topk,
+        "g6_pagerank": _g6_pagerank,
+        "kg_pipeline_triples": _kg_pipeline_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_time_validity": """
+            SELECT
+              count(DISTINCT CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN event_id END) AS valid_cnt,
+              count(DISTINCT CASE WHEN ts >  TIMESTAMP '2024-01-15 00:00:00' THEN event_id END) AS skipped_cnt
+            FROM events
+        """,
+        "a6_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "t1_topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "t2_pertype_rank": """
+            SELECT o_orderpriority, rnk, o_orderkey, price FROM (
+              SELECT o_orderpriority,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+                     o_orderkey, round(o_totalprice, 2) AS price
+              FROM orders
+            ) WHERE rnk <= 5
+        """,
+        "t3_dedup_keepone": """
+            SELECT o_custkey, latest_orderkey FROM (
+              SELECT o_custkey, o_orderkey AS latest_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "j6_interval_join": """
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+            GROUP BY o_orderpriority
+        """,
+        "j7_timewindow_join": """
+            SELECT e.event_id AS err_id,
+                   count(c.clk_ts) AS n_prior_clicks
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT user_id, ts AS clk_ts FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.clk_ts >= e.ts - INTERVAL 1 HOUR
+             AND c.clk_ts <  e.ts
+            GROUP BY e.event_id
+        """,
+        "j11_anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "u4_union_dedup": """
+            SELECT nationkey, count(*) AS n_refs FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "p8_token_extract": """
+            SELECT token, count(*) AS freq FROM (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents
+            ) WHERE len(token) > 0
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 20
+        """,
+        "p10_levenshtein": """
+            SELECT c_custkey,
+                   round(1.0 - levenshtein(c_name, 'Customer#000000001')
+                         / greatest(length(c_name), length('Customer#000000001'))::DOUBLE, 4) AS lev_sim
+            FROM customer WHERE c_custkey <= 100
+        """,
+        "p11_cosine_topk": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT e.vec_id,
+                     list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cos
+              FROM embeddings e, q
+              WHERE e.vec_id <> 0
+            )
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+                   round(cos, 4) AS cos_sim
+            FROM scored
+            ORDER BY cos DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS content_hash,
+                   count(*) AS dup_count,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "text_distinct_ratio": """
+            SELECT doc_id,
+                   round(
+                     len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)))::DOUBLE
+                     / len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)),
+                   4) AS distinct_ratio
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "g8_connected_components": """
+            SELECT o_orderkey,
+                   min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+            FROM orders
+        """,
+        "g2_bfs_hops": """
+            WITH RECURSIVE bfs(node, hops) AS (
+              SELECT 'region:0', 0
+              UNION ALL
+              SELECT e.obj, bfs.hops + 1 FROM bfs JOIN (
+                SELECT 'region:' || n_regionkey AS subj, 'nation:' || n_nationkey AS obj FROM nation
+                UNION ALL
+                SELECT 'nation:' || c_nationkey AS subj, 'customer:' || c_custkey AS obj FROM customer
+              ) e ON e.subj = bfs.node
+              WHERE bfs.hops < 2
+            )
+            SELECT node, min(hops) AS hops FROM bfs GROUP BY node
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from kgcompass_spark.session import get_spark
+
+    s = get_spark("entry-smoke")
+    df = entry(s)
+    df.show()
+    print("queries:", len(queries()), "oracles:", len(oracle_sql()))

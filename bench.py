@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "triples_per_sec": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  BENCH_PAGES          synthetic page count for the KG pipeline (default 4000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "4000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.session import get_spark
+    from kgcompass_spark.sources.datagen import (
+        CUTOFF,
+        corpus_dataframes,
+        pages_dataframe_distributed,
+    )
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return dt
+
+    # --- headline: the KG construction pipeline on synthetic pages --------
+    _, entities, _, _ = corpus_dataframes(spark, n_pages=1)
+    pages = pages_dataframe_distributed(
+        spark, N_PAGES, partitions=max(CPUS, 8)
+    ).persist()
+    n_pages_actual = pages.count()  # materialize generation outside the timing
+
+    triple_count = {}
+
+    def kg_run():
+        out = build_kg(pages, entities, cutoff=None, persist=True)
+        triple_count["n"] = out["triples"].count()
+        out["prepared"].unpersist()
+
+    kg_sec = timed("kg_pipeline", kg_run)
+    pages.unpersist()
+
+    # --- operator benches over driver testdata ----------------------------
+    qs = entrymod.queries()
+    bench_queries = [
+        "a6_pricing_summary",
+        "j6_interval_join",
+        "j7_timewindow_join",
+        "t2_pertype_rank",
+        "p8_token_extract",
+        "p11_cosine_topk",
+        "dedup_exact_docs",
+        "minhash_near_dups",
+        "simhash_docs",
+        "g8_connected_components",
+        "g2_bfs_hops",
+    ]
+    for name in bench_queries:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "kg_construct_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "n_pages": n_pages_actual,
+        "n_triples": triple_count.get("n", 0),
+        "triples_per_sec": round(triple_count.get("n", 0) / kg_sec, 1) if kg_sec else 0,
+        "pages_per_sec": round(n_pages_actual / kg_sec, 1) if kg_sec else 0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

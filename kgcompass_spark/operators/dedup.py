@@ -1,0 +1,285 @@
+"""Deduplication operators over a documents table (id, text).
+
+Large-scale training-data-pipeline additions (per the build brief), all
+Spark-first:
+
+  exact            — md5-hash groupBy (one shuffle on the hash)
+  minhash_lsh      — shingle → minhash → band → bucket join (candidate pairs
+                     only ever co-shuffle within a band bucket)
+  simhash          — 64-bit token-hash aggregate, hamming-band blocking
+  ngram_jaccard    — exact Jaccard on shingle sets for candidate pairs
+  embedding_cosine — near-dup by cosine over an embedding column
+
+Scale notes: every pairwise method is blocked first (LSH band buckets /
+simhash bands); no operator ever materializes the full O(n²) cross join.
+Buckets with a single member are dropped before the self-join, and the
+self-join applies ``id_a < id_b`` inside the bucket so each pair appears
+once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MINHASH_BANDS, MINHASH_NUM_HASHES
+
+# Deterministic hash-family parameters (fixed odd multipliers, xxhash base).
+_MERSENNE = (1 << 61) - 1
+
+
+def _tokens(text_col):
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """Word k-shingles as strings: array<string>. Built with JVM higher-order
+    functions over the token array — no UDF."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groupBy; returns (content_hash, dup_count,
+    keeper_id, dup_ids). One shuffle on the hash."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — minhash over word shingles.
+
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod p, min per doc. All JVM-side:
+    xxhash64 builtin + transform/aggregate higher-order functions.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    # Reduce xxhash64 into 31 bits before the affine transform so
+    # a*h + b never overflows a long under ANSI arithmetic (Spark 4 default).
+    hashes = F.transform(
+        sh, lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))
+    )
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1           # odd multipliers, deterministic family
+        b = 1_000_003 * (i + 1)
+        sig_cols.append(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+                )
+            ).alias(f"h{i}")
+        )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.array(*sig_cols).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Band the signature, bucket-join within band: (doc_a, doc_b,
+    n_shared_bands). Shuffle key = (band_id, band_hash) — the LSH blocking
+    join; skewed buckets (boilerplate docs) are handled by AQE skew-join."""
+    n = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate ``pairs(doc_a, doc_b)``.
+    Two broadcast-joins of the (small) candidate list against the shingle
+    arrays, then a set-intersection expression."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc, pure JVM: per-token xxhash64, bit-vote via
+    aggregate over the token array, sign → bits.
+
+    Returns (doc_id, simhash bigint). Near-dup detection = join on rotated
+    band prefixes (see ``simhash_candidates``).
+    """
+    toks = _tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # vote per bit: sum(+1/-1) over tokens, bit set iff vote > 0
+    bit_exprs = []
+    for b in range(bits):
+        vote = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        # shiftleft keeps bit 63 representable (a python 1<<63 literal
+        # overflows LongType); the wrap into the sign bit is intentional —
+        # this is bit packing, not arithmetic.
+        bit_exprs.append(
+            F.when(
+                vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        total = total.bitwiseOR(e)
+    return docs.select(F.col(id_col).alias("doc_id"), total.alias("simhash"))
+
+
+def simhash_candidates(sigs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Block simhashes on 16-bit bands (4 bands of a 64-bit hash); docs
+    sharing any band are candidates; exact hamming distance as residual."""
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        .alias("band_hash")
+        for i in range(64 // band_bits)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(F.array(*bands)).alias("band_id", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-dup by embedding cosine ≥ threshold, LSH-blocked by random
+    hyperplane signs (deterministic planes from xxhash of (plane, dim)).
+
+    Blocking: 8-bit sign sketch → same-sketch bucket self-join → exact
+    cosine residual. At 10^9 vectors the bucket join is the only shuffle.
+    """
+    from ..functions.similarity import cosine_similarity
+
+    dim = F.size(F.col(vec_col))
+    # deterministic pseudo-random plane weights: w[p][d] = hash→[-1,1]
+    def plane_bit(p: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, d: v.cast("double")
+                * (
+                    (
+                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(p), d)), F.lit(2000))
+                        - 1000
+                    ).cast("double")
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+
+    sketch = plane_bit(0)
+    for p in range(1, n_planes):
+        sketch = sketch + plane_bit(p)
+    sk = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), sketch.alias("sketch"))
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )

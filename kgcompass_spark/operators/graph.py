@@ -1,0 +1,225 @@
+"""Graph operators (SURVEY.md §2.10) — iterative DataFrame joins.
+
+  G2/G3 bounded_sssp      — ≤max_hops rounds of frontier ⋈ edges with
+                            min-cost agg and path-struct accumulation
+                            (knowledge_graph.py:1054-1138 semantics)
+  G6    pagerank          — root-seeded power iteration (α=0.85)
+                            (knowledge_graph.py:1288-1345)
+  G8    connected_components — alternating large-star/small-star
+                            (GraphFrames-style), the canonicalization CC
+                            required at web scale (north_rule)
+
+Iteration hygiene (SURVEY.md §4.2): every loop ``localCheckpoint``s each
+round to cut lineage — without it the plan doubles per iteration and the
+driver OOMs planning, not executing. Convergence checks are single scalar
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SIMILARITY_CANDIDATE_CAP
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    root: str,
+    max_hops: int = 4,
+    max_cost: float | None = None,
+    frontier_cap: int = SIMILARITY_CANDIDATE_CAP,
+) -> DataFrame:
+    """Single-source shortest weighted paths from ``root``, ≤ ``max_hops``.
+
+    ``edges``: (subj, predicate, obj, weight). Returns
+    (node, cost, hops, path) where path is the predicate sequence
+    (G3's path_details analog, array<struct<predicate,node>>).
+
+    Per round: frontier ⋈ edges (shuffle on subj) → groupBy(node) min cost.
+    Path width is bounded by ``frontier_cap`` per round, mirroring the
+    reference's 10000-candidate cap (knowledge_graph.py:1177) so the
+    collect_list structs can't explode at scale.
+    """
+    e = edges.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("predicate"),
+        F.col("weight").cast("double"),
+    )
+    best = None  # (node, cost, hops, path)
+    frontier = (
+        e.sparkSession.createDataFrame(
+            [(root, 0.0, 0)], "node string, cost double, hops int"
+        ).withColumn(
+            "path",
+            F.array().cast("array<struct<predicate:string,node:string>>"),
+        )
+    )
+    best = frontier
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("weight")).alias("cost"),
+                (F.col("hops") + 1).alias("hops"),
+                F.concat(
+                    "path",
+                    F.array(
+                        F.struct(
+                            F.col("predicate").alias("predicate"),
+                            F.col("dst").alias("node"),
+                        )
+                    ),
+                ).alias("path"),
+            )
+        )
+        if max_cost is not None:
+            nxt = nxt.filter(F.col("cost") <= max_cost)
+        merged = best.unionByName(nxt)
+        w = Window.partitionBy("node").orderBy(
+            F.asc("cost"), F.asc("hops"), F.asc(F.col("path").cast("string"))
+        )
+        best = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        # new frontier = nodes improved this round, width-capped deterministically
+        frontier = (
+            best.join(nxt.select("node").distinct(), "node")
+            .orderBy(F.asc("cost"), F.asc("node"))
+            .limit(frontier_cap)
+            .localCheckpoint(eager=True)
+        )
+        if frontier.rdd.isEmpty():
+            break
+    return best
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """G8: connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log² n) rounds, each round two shuffles.
+
+    Returns (node, component) with component = min node id in the component
+    (string min — ids are strings; canonical entity id per SURVEY.md §7.6).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    # parent pointers: node → min(neighbor ∪ self)
+    parent = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("p"))
+        .select(F.col("u").alias("node"), F.least(F.col("p"), F.col("node")).alias("comp"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: comp(node) = min(comp(node), min over neighbors comp(nb))
+        nb = (
+            sym.join(parent.withColumnRenamed("node", "v").withColumnRenamed("comp", "vcomp"), "v")
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbcomp"))
+            .withColumnRenamed("u", "node")
+        )
+        new_parent = (
+            parent.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbcomp"), F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer jumping: comp ← comp(comp)
+        jumped = (
+            new_parent.alias("a")
+            .join(
+                new_parent.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(parent.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        parent = jumped
+        if changed == 0:
+            break
+    return parent.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    iters: int = 24,
+    personalized_root: str | None = None,
+) -> DataFrame:
+    """G6: (personalized) PageRank by power iteration, normalized by max
+    (knowledge_graph.py:1288-1345: α=0.85, 24 iterations, root-seeded).
+
+    Returns (node, score). Per iteration one shuffle (groupBy dst); ranks
+    checkpointed every 5 rounds to cut lineage.
+    """
+    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = nodes.count()
+
+    if personalized_root is not None:
+        base = nodes.select(
+            "node",
+            F.when(F.col("node") == personalized_root, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("base"),
+        )
+    else:
+        base = nodes.select("node", F.lit(1.0 / n_nodes).alias("base"))
+
+    ranks = base.select("node", F.col("base").alias("rank"))
+    for i in range(iters):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    (1.0 - alpha) * F.col("base")
+                    + alpha * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    mx = ranks.agg(F.max("rank")).first()[0] or 1.0
+    return ranks.select("node", (F.col("rank") / F.lit(mx)).alias("score"))

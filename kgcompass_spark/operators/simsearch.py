@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (array<float>).
+
+  brute_force_topk — exact cosine top-k: broadcast the query vector(s),
+                     score JVM-side, TakeOrderedAndProject. The correctness
+                     baseline.
+  lsh_topk         — hyperplane-LSH bucketed variant: probe only the query's
+                     bucket (+multiprobe neighbors); the 100-TB scale path.
+  ivf_topk         — IVF-style: k-means-lite centroids (deterministic seed),
+                     probe nearest n_probe cells.
+
+All scoring via the JVM cosine (zip_with/aggregate) — no Python in the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_similarity
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query: cross-join against broadcast queries.
+
+    Scale: cost = |emb| × |queries| cosine evaluations, fully parallel, no
+    shuffle until the final per-query top-k (row_number over a window keyed
+    by query — shuffle size is |emb|×|queries| rows of (id, score), pruned
+    by a per-partition pre-top-k first).
+    """
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sketch(vec_col, n_planes: int = 8):
+    dim = F.size(vec_col)
+
+    def plane_bit(p: int):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, d: v.cast("double")
+                * (
+                    (
+                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(p), d)), F.lit(2000))
+                        - 1000
+                    ).cast("double")
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+
+    sk = plane_bit(0)
+    for p in range(1, n_planes):
+        sk = sk + plane_bit(p)
+    return sk
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN: bucket base vectors by hyperplane sign sketch; probe the query's
+    bucket plus all 1-bit-flip neighbor buckets (multiprobe) — recall knob
+    without rebuilding. Join is equi on the sketch → hash join, no cross."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _hyperplane_sketch(F.col(vec_col), n_planes).alias("sketch"),
+    )
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        _hyperplane_sketch(F.col(query_vec_col), n_planes).alias("qsketch"),
+    )
+    probes = q0.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qsketch"),
+                *[
+                    F.col("qsketch").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("sketch"),
+    )
+    scored = base.join(F.broadcast(probes), "sketch").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-lite: centroids = deterministic sample of n_cells vectors (every
+    len/n-th by id order — reproducible without kmeans iterations); assign
+    base vectors to nearest centroid (one broadcast join), probe the
+    ``n_probe`` nearest cells per query."""
+    ids = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    w0 = Window.orderBy("cid")
+    total = emb.count()
+    step = max(total // n_cells, 1)
+    centroids = (
+        ids.withColumn("_rn", F.row_number().over(w0))
+        .filter((F.col("_rn") - 1) % step == 0)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(Window.orderBy("cid")) - 1)
+        .select("cell", "cvec")
+    )
+    # assign base vectors to nearest centroid
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine_similarity(F.col(vec_col), F.col("cvec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), "cell")
+    )
+    qcells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine_similarity(F.col(query_vec_col), F.col("cvec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            "cell",
+        )
+    )
+    scored = assigned.join(F.broadcast(qcells), "cell").select(
+        "query_id", "vec_id", cosine_similarity(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

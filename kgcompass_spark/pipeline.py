@@ -105,9 +105,19 @@ def build_kg(
     entities: DataFrame,
     cutoff: datetime | None = None,
     include_reverse: bool = False,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full pipeline. Returns the stage DataFrames (lazy)."""
+    """Full pipeline. Returns the stage DataFrames (lazy).
+
+    ``persist=True`` caches the prepared-pages stage: the five link
+    resolvers all re-derive it otherwise, so the HTML→text Arrow UDF and the
+    page-dedup shuffle would run 5× (observed in the physical plan). On a
+    cluster this is the difference between one and five scans of the 100-TB
+    pages table. Caller owns unpersist.
+    """
     prepared = prepare_pages(pages, cutoff)
+    if persist:
+        prepared = prepared.persist()
     mentions = extract_mentions(prepared)
     frames = extract_frames(prepared)
     meta = pages_meta_from(prepared)

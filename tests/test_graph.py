@@ -1,0 +1,85 @@
+"""G2/G6/G8 graph operators on hand-computable graphs."""
+
+from pyspark.sql import functions as F
+
+from kgcompass_spark.operators.graph import (
+    bounded_sssp,
+    connected_components,
+    pagerank,
+)
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, predicate string, obj string, weight double"
+    )
+
+
+def test_bounded_sssp_costs(spark):
+    e = edges_df(
+        spark,
+        [
+            ("a", "p", "b", 1.0),
+            ("b", "p", "c", 1.0),
+            ("a", "p", "c", 3.0),   # longer direct edge — must lose
+            ("c", "p", "d", 0.5),
+        ],
+    )
+    out = {r["node"]: (r["cost"], r["hops"]) for r in bounded_sssp(e, "a", max_hops=4).collect()}
+    assert out["a"] == (0.0, 0)
+    assert out["b"] == (1.0, 1)
+    assert out["c"] == (2.0, 2)   # a→b→c beats a→c
+    assert out["d"] == (2.5, 3)
+
+
+def test_bounded_sssp_hop_limit(spark):
+    e = edges_df(spark, [("a", "p", "b", 1.0), ("b", "p", "c", 1.0), ("c", "p", "d", 1.0)])
+    nodes = {r["node"] for r in bounded_sssp(e, "a", max_hops=2).collect()}
+    assert nodes == {"a", "b", "c"}
+
+
+def test_bounded_sssp_path_structs(spark):
+    e = edges_df(spark, [("a", "x", "b", 1.0), ("b", "y", "c", 1.0)])
+    rows = {r["node"]: r["path"] for r in bounded_sssp(e, "a", max_hops=3).collect()}
+    assert [p["predicate"] for p in rows["c"]] == ["x", "y"]
+    assert [p["node"] for p in rows["c"]] == ["b", "c"]
+
+
+def test_connected_components(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == "x"
+
+
+def test_connected_components_chain(spark):
+    # long chain exercises pointer jumping over several iterations
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert set(out.values()) == {"n00"}
+    assert len(out) == 13
+
+
+def test_pagerank_sink_gets_rank(spark):
+    e = edges_df(
+        spark,
+        [("a", "p", "c", 1.0), ("b", "p", "c", 1.0), ("c", "p", "a", 1.0)],
+    )
+    # 40 power iterations: residual ~0.85^40 ≈ 1e-3, well under the c/a gap
+    out = {r["node"]: r["score"] for r in pagerank(e, iters=40).collect()}
+    assert out["c"] == 1.0          # normalized max
+    assert out["a"] > out["b"]      # a receives from c; b receives nothing
+
+
+def test_personalized_pagerank_root_bias(spark):
+    e = edges_df(
+        spark,
+        [("r", "p", "a", 1.0), ("a", "p", "b", 1.0), ("b", "p", "r", 1.0)],
+    )
+    out = {r["node"]: r["score"] for r in pagerank(e, iters=12, personalized_root="r").collect()}
+    assert out["r"] == 1.0
+    assert out["a"] > out["b"]

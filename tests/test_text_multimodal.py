@@ -1,0 +1,83 @@
+"""Text-quality functions + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgcompass_spark.functions.text_quality import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from kgcompass_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+
+
+def one(spark, text, col_builder):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col_builder(F.col("t")).alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert one(spark, "a b  c\nd", token_count) == 4
+    assert one(spark, "", token_count) == 0
+
+
+def test_bpe_ish_token_count(spark):
+    assert one(spark, "hello, world 42", bpe_ish_token_count) == 4  # hello | , | world | 42
+
+
+def test_quality_score_ordering(spark):
+    good = "The quick brown fox jumps over the lazy dog and it is a fine day in the park."
+    bad = "xxxxx xxxxx xxxxx xxxxx !!!! 1234"
+    assert one(spark, good, quality_score) > one(spark, bad, quality_score)
+    assert 0.0 <= one(spark, bad, quality_score) <= 1.0
+
+
+def test_detect_language(spark):
+    assert one(spark, "the cat is in the house and it is warm", detect_language) == "en"
+    assert one(spark, "der Hund ist nicht in das Haus und die Katze", detect_language) == "de"
+    assert one(spark, "zzz qqq www", detect_language) == "und"
+
+
+def test_fingerprint_whitespace_stable(spark):
+    a = one(spark, "alpha beta gamma delta epsilon", fingerprint)
+    b = one(spark, "alpha   beta\tgamma  delta epsilon", fingerprint)
+    c = one(spark, "different words entirely here now", fingerprint)
+    assert a == b
+    assert a != c
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=12)
+    out = extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_poison_pill(spark):
+    bad = spark.createDataFrame(
+        [("x", "image", None, (None, None, None, None))],
+        "media_id string, modality string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = extract_features(bad).collect()
+    assert rows[0]["decode_ok"] is False
+    assert rows[0]["feature"] == []
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, n=9)
+    frames = frame_sample(media, every_n=10)
+    vids = media.filter(F.col("modality") == "video").collect()
+    got = frames.groupBy("media_id").count().collect()
+    assert {r["media_id"] for r in got} == {v["media_id"] for v in vids}
