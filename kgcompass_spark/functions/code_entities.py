@@ -1,0 +1,220 @@
+"""Entity extraction from source text — the alias-dictionary builder
+(SURVEY.md §2.4 E1–E4, E7; §2.3 M6; §2.2 P14).
+
+Reference semantics (studied, not copied):
+  E1 class extractor        language_factory.py:374-408
+  E2 global-method extractor language_factory.py:456-479
+  E3 global-variable extractor language_factory.py:481-523
+  E4 import-alias map        language_factory.py:431-454
+  E7 comment→docstring       utils.py:471-487
+  M6 code-block AST refs     language_factory.py:549-614
+  P14 fenced-block split     utils.py:570-582
+
+Shape: one source file row → many entity rows = ``mapInPandas`` (the UDTF
+analog). The AST work is pure Python (stdlib ``ast``), batched over Arrow;
+it is the designed slow path, mirroring the reference's parser stage.
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ENTITY_ROW_SCHEMA = (
+    "file_path string, kind string, name string, short_name string, "
+    "signature string, start_line int, end_line int, doc_string string"
+)
+
+REF_ROW_SCHEMA = "url string, ref_type string, ref_name string"
+
+
+# ---------------------------------------------------------------------------
+# P14 — fenced code-block splitter (pure function, stateful line scan)
+# ---------------------------------------------------------------------------
+
+def extract_code_blocks(text: str) -> list[str]:
+    """Split out fenced ``` blocks (utils.py:570-582 semantics): returns the
+    inner text of each block, language tags stripped."""
+    blocks: list[str] = []
+    cur: list[str] | None = None
+    for line in (text or "").split("\n"):
+        stripped = line.strip()
+        if stripped.startswith("```"):
+            if cur is None:
+                cur = []          # opening fence (language tag ignored)
+            else:
+                blocks.append("\n".join(cur))
+                cur = None        # closing fence
+        elif cur is not None:
+            cur.append(line)
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# E1–E4/E7 — Python source → entity rows
+# ---------------------------------------------------------------------------
+
+def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
+    args = [a.arg for a in fn.args.args]
+    if fn.args.vararg:
+        args.append("*" + fn.args.vararg.arg)
+    if fn.args.kwarg:
+        args.append("**" + fn.args.kwarg.arg)
+    return f"{fn.name}({', '.join(args)})"
+
+
+def _module_of(path: str) -> str:
+    p = path[:-3] if path.endswith(".py") else path
+    if p.endswith("/__init__"):
+        p = p[: -len("/__init__")]
+    return p.replace("/", ".")
+
+
+def parse_python_entities(file_path: str, source: str) -> list[dict]:
+    """E1–E3 (+E8 rescue): top-level classes (with methods), functions and
+    assignments of one file → entity dicts. Returns [] on unparseable
+    source (poison-pill isolation)."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        # E8: python-2 rescue — print statements to calls, then retry
+        try:
+            import re
+
+            rescued = re.sub(r"(?m)^(\s*)print\s+([^(].*)$", r"\1print(\2)", source or "")
+            tree = ast.parse(rescued)
+        except SyntaxError:
+            return []
+    module = _module_of(file_path)
+    rows: list[dict] = []
+
+    def row(kind, name, short, sig, node, doc=""):
+        rows.append(
+            dict(
+                file_path=file_path,
+                kind=kind,
+                name=name,
+                short_name=short,
+                signature=sig,
+                start_line=getattr(node, "lineno", 0),
+                end_line=getattr(node, "end_lineno", 0),
+                doc_string=doc or "",
+            )
+        )
+
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            qname = f"{module}.{node.name}"
+            row("class", qname, node.name, f"class {node.name}", node,
+                ast.get_docstring(node) or "")
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    row("method", f"{qname}.{sub.name}", sub.name,
+                        _signature(sub), sub, ast.get_docstring(sub) or "")
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            row("method", f"{module}.{node.name}", node.name,
+                _signature(node), node, ast.get_docstring(node) or "")
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    try:
+                        val = ast.literal_eval(node.value)
+                        vrepr = repr(val)
+                        if len(vrepr) > 40:        # P16 truncation
+                            vrepr = vrepr[:37] + "..."
+                    except (ValueError, SyntaxError):
+                        vrepr = "<expr>"
+                    row("global_var", f"{module}.{tgt.id}", tgt.id,
+                        f"{tgt.id} = {vrepr}", node)
+    return rows
+
+
+def import_alias_map(source: str) -> dict[str, str]:
+    """E4: alias → fully-qualified name from import statements."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return {}
+    aliases: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                aliases[a.asname or a.name.split(".")[0]] = a.name
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            for a in node.names:
+                aliases[a.asname or a.name] = f"{node.module}.{a.name}"
+    return aliases
+
+
+# ---------------------------------------------------------------------------
+# M6 — code-block AST references
+# ---------------------------------------------------------------------------
+
+def snippet_references(snippet: str) -> list[tuple[str, str]]:
+    """AST references from one fenced block: imports + attribute calls
+    resolved through the block's own import-alias map
+    (language_factory.py:549-614)."""
+    try:
+        tree = ast.parse(snippet)
+    except SyntaxError:
+        return []
+    aliases = import_alias_map(snippet)
+    refs: list[tuple[str, str]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                refs.append(("import", a.name))
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            for a in node.names:
+                refs.append(("import", f"{node.module}.{a.name}"))
+        elif isinstance(node, ast.Call):
+            fn = node.func
+            if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name):
+                base = aliases.get(fn.value.id, fn.value.id)
+                refs.append(("call", f"{base}.{fn.attr}"))
+            elif isinstance(fn, ast.Name):
+                refs.append(("call", aliases.get(fn.id, fn.id)))
+    seen, out = set(), []
+    for r in refs:
+        if r not in seen:
+            seen.add(r)
+            out.append(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def extract_entities(files: DataFrame, path_col: str = "file_path", src_col: str = "source") -> DataFrame:
+    """E1–E4 over a (file_path, source) DataFrame → entity rows via
+    mapInPandas (one file in, many entities out)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["file_path", "kind", "name", "short_name", "signature",
+                "start_line", "end_line", "doc_string"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, src in zip(pdf[path_col], pdf[src_col]):
+                rows.extend(parse_python_entities(path or "", src or ""))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=ENTITY_ROW_SCHEMA)
+
+
+def extract_snippet_refs(pages: DataFrame, url_col: str = "url", text_col: str = "clean_text") -> DataFrame:
+    """M6 over pages: fenced blocks → AST references, exploded rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, text in zip(pdf[url_col], pdf[text_col]):
+                for block in extract_code_blocks(text or ""):
+                    for rtype, rname in snippet_references(block):
+                        rows.append(dict(url=url, ref_type=rtype, ref_name=rname))
+            yield pd.DataFrame(rows, columns=["url", "ref_type", "ref_name"])
+
+    return pages.mapInPandas(run, schema=REF_ROW_SCHEMA)

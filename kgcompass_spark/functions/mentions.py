@@ -231,8 +231,11 @@ def anchor_terms(title: Column, body: Column) -> Column:
 def extract_all_mentions(text: Column) -> Column:
     """Full M1–M10 battery → ranked, truncated, noise-filtered mention array.
 
-    One column expression; Catalyst fuses the whole thing into a single
-    whole-stage-codegen projection over the pages scan.
+    Single-expression form. NOTE: the M4 subtree appears three times in
+    this tree; inside one projection Catalyst does not CSE across the
+    branches, so prefer :func:`mentions_dataframe` (stepwise projections,
+    each subtree evaluated once) in the pipeline hot path — it is ~3×
+    faster. This form is kept for tests and ad-hoc use.
     """
     m4 = noise_filter(inline_identifier_mentions(text))
     identifiers = F.array_distinct(
@@ -254,4 +257,45 @@ def extract_all_mentions(text: Column) -> Column:
     )
     return rank_and_truncate(
         F.concat(structural, noise_filter(identifiers))
+    )
+
+
+def mentions_dataframe(df, text_col: str = "clean_text"):
+    """DataFrame-level M1–M10 battery: one intermediate column per stage so
+    every regex sub-battery is evaluated exactly once per row.
+
+    CollapseProject keeps multi-use, non-trivial aliases in separate
+    Projects, so the chain below is CSE-by-construction — the single-column
+    form re-evaluates the M4 battery 3×. Output column: ``mentions``.
+    """
+    text = F.col(text_col)
+    return (
+        df.withColumn("_m4", noise_filter(inline_identifier_mentions(text)))
+        .withColumn(
+            "_ids",
+            F.array_distinct(
+                F.concat(
+                    F.col("_m4"),
+                    classname_fallback_mentions(text, F.col("_m4")),
+                    doc_symbol_mentions(text),
+                )
+            ),
+        )
+        .withColumn(
+            "_structural",
+            F.array_distinct(
+                F.concat(
+                    file_path_mentions(text),
+                    issue_number_mentions(text),
+                    closing_ref_mentions(text),
+                )
+            ),
+        )
+        .withColumn(
+            "mentions",
+            rank_and_truncate(
+                F.concat(F.col("_structural"), noise_filter(F.col("_ids")))
+            ),
+        )
+        .drop("_m4", "_ids", "_structural")
     )

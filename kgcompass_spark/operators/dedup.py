@@ -71,26 +71,34 @@ def minhash_signatures(
     h_i(x) = (a_i * xxhash64(x) + b_i) mod p, min per doc. All JVM-side:
     xxhash64 builtin + transform/aggregate higher-order functions.
     """
-    sh = shingles(F.col(text_col), shingle_k)
-    # Reduce xxhash64 into 31 bits before the affine transform so
+    # One shingle pass: explode → 32 min-aggregates. The hash-agg gets
+    # map-side partial aggregation for free, so the shuffle carries one
+    # 32-long signature row per (partition, doc) — NOT per shingle. An
+    # earlier all-in-one-projection variant recomputed the shingle array
+    # once per signature column (32×) and was ~100× slower at sf0.1.
+    #
+    # xxhash64 is reduced into 31 bits before the affine transform so
     # a*h + b never overflows a long under ANSI arithmetic (Spark 4 default).
-    hashes = F.transform(
-        sh, lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1)).alias("h"),
     )
-    sig_cols = []
-    for i in range(num_hashes):
-        a = 2 * i + 1           # odd multipliers, deterministic family
-        b = 1_000_003 * (i + 1)
-        sig_cols.append(
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
-                )
-            ).alias(f"h{i}")
-        )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.array(*sig_cols).alias("sig")
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(2 * i + 1) + F.lit(1_000_003 * (i + 1)),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -171,29 +179,31 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     Returns (doc_id, simhash bigint). Near-dup detection = join on rotated
     band prefixes (see ``simhash_candidates``).
     """
-    toks = _tokens(F.col(text_col))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    # vote per bit: sum(+1/-1) over tokens, bit set iff vote > 0
-    bit_exprs = []
-    for b in range(bits):
-        vote = F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        # shiftleft keeps bit 63 representable (a python 1<<63 literal
-        # overflows LongType); the wrap into the sign bit is intentional —
-        # this is bit packing, not arithmetic.
-        bit_exprs.append(
+    # Explode tokens once, then 64 per-bit vote aggregates (sum of ±1);
+    # map-side partial agg keeps the shuffle at one row per (partition, doc).
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
             F.when(
-                vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agged = exploded.groupBy("doc_id").agg(*votes)
+    # shiftleft keeps bit 63 representable (a python 1<<63 literal overflows
+    # LongType); the wrap into the sign bit is intentional bit packing.
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         )
-    total = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        total = total.bitwiseOR(e)
-    return docs.select(F.col(id_col).alias("doc_id"), total.alias("simhash"))
+    return agged.select("doc_id", total.alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame, band_bits: int = 16) -> DataFrame:

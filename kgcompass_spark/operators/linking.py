@@ -81,11 +81,18 @@ def link_call_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
         mentions.filter(F.col("mtype").isin("call", "variable", "global"))
         .join(F.broadcast(named), F.col("text") == F.col("_short"))
     )
-    w = Window.partitionBy("url", "text").orderBy("entity_id")
+    # deterministic winner per (url, text) = min entity_id. min(struct)
+    # aggregates map-side (partial combine); a row_number window would
+    # sort-shuffle every candidate row instead of one winner per partition.
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("url", "entity_id", "kind", F.lit(NORMAL_CONNECTION).alias("weight"))
+        cand.groupBy("url", "text")
+        .agg(F.min(F.struct("entity_id", "kind")).alias("_w"))
+        .select(
+            "url",
+            F.col("_w.entity_id").alias("entity_id"),
+            F.col("_w.kind").alias("kind"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+        )
     )
 
 

@@ -16,12 +16,12 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.cleaning import clean_issue_text
 from .functions.html import page_text
-from .functions.mentions import extract_all_mentions, traceback_mentions
+from .functions.mentions import mentions_dataframe, traceback_mentions
 from .operators.linking import (
     link_call_mentions,
     link_file_mentions,
@@ -44,11 +44,22 @@ def prepare_pages(pages: DataFrame, cutoff: datetime | None = None) -> DataFrame
     df = pages.filter(F.col("lang") == "en")
     if cutoff is not None:
         df = df.filter(F.col("warc_ts") <= F.lit(cutoff))
-    w = Window.partitionBy("url").orderBy("warc_ts")
+    # exactly-once per url, earliest crawl wins. min(struct) instead of a
+    # row_number window: the aggregate gets map-side partial combine, so the
+    # shuffle carries one row per (partition, url) — a window would sort and
+    # shuffle every duplicate. Struct comparison is lexicographic by field,
+    # so warc_ts (first field) decides; remaining fields break exact ties
+    # deterministically.
     df = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy("url")
+        .agg(F.min(F.struct("warc_ts", "lang", "text", "html")).alias("_r"))
+        .select(
+            "url",
+            F.col("_r.warc_ts").alias("warc_ts"),
+            F.col("_r.lang").alias("lang"),
+            F.col("_r.text").alias("text"),
+            F.col("_r.html").alias("html"),
+        )
     )
     return df.withColumn(
         "clean_text", clean_issue_text(page_text(F.col("html"), F.col("text")))
@@ -56,13 +67,13 @@ def prepare_pages(pages: DataFrame, cutoff: datetime | None = None) -> DataFrame
 
 
 def extract_mentions(prepared: DataFrame) -> DataFrame:
-    """Stage 2: mention battery (M1–M10) → exploded mention rows."""
+    """Stage 2: mention battery (M1–M10) → exploded mention rows.
+
+    Uses the stepwise-projection form so each regex sub-battery runs once
+    per page (the single-expression form re-evaluates M4 three times)."""
     return (
-        prepared.select(
-            "url",
-            "warc_ts",
-            F.explode(extract_all_mentions(F.col("clean_text"))).alias("m"),
-        )
+        mentions_dataframe(prepared.select("url", "warc_ts", "clean_text"))
+        .select("url", "warc_ts", F.explode("mentions").alias("m"))
         .select("url", "warc_ts", F.col("m.mtype").alias("mtype"), F.col("m.text").alias("text"))
     )
 
@@ -119,6 +130,10 @@ def build_kg(
     if persist:
         prepared = prepared.persist()
     mentions = extract_mentions(prepared)
+    if persist:
+        # five resolvers consume mentions — uncached they would each re-run
+        # the regex battery over every page
+        mentions = mentions.persist()
     frames = extract_frames(prepared)
     meta = pages_meta_from(prepared)
     links = link_all(mentions, frames, entities, meta)

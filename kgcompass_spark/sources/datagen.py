@@ -136,34 +136,54 @@ def _wrap_html(body_text: str, rng: random.Random) -> bytes:
     ).encode("utf-8")
 
 
-def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
-    rng = random.Random(seed)
-    corpus = Corpus()
-    entities = _mk_entities()
-    corpus.entities = entities
-    corpus.golden_triples.extend(_structural_triples(entities))
+def _page_ts(i: int) -> datetime:
+    return EPOCH + timedelta(hours=i * 7 % (24 * 280), minutes=i % 60)
 
-    files = [e for e in entities if e["kind"] == "file"]
-    methods = [e for e in entities if e["kind"] == "method"]
-    classes = [e for e in entities if e["kind"] == "class"]
 
-    page_ts: dict[int, datetime] = {}
-    for i in range(n_pages):
-        page_ts[i] = EPOCH + timedelta(hours=i * 7 % (24 * 280), minutes=i % 60)
+def _is_late(i: int) -> bool:
+    return i % 37 == 36  # FIXTURES §6: post-cutoff leakage page
 
-    for i in range(n_pages):
-        url = _page_url(i)
-        ts = page_ts[i]
-        late = i % 37 == 36  # FIXTURES §6: post-cutoff leakage page
-        if late:
-            ts = CUTOFF + timedelta(days=1 + i % 5)
-        noise_only = i % 41 == 40
-        lang = "de" if i % 53 == 52 else "en"
 
-        lines: list[str] = [f"Issue {i}: crash in module pipeline run {i}."]
-        expected: list[dict] = []
+class _Inventory:
+    """Pre-split entity lists shared by both generator paths."""
 
-        if not noise_only:
+    def __init__(self):
+        self.entities = _mk_entities()
+        self.files = [e for e in self.entities if e["kind"] == "file"]
+        self.methods = [e for e in self.entities if e["kind"] == "method"]
+        self.classes = [e for e in self.entities if e["kind"] == "class"]
+
+
+_INV = None
+
+
+def _inventory() -> "_Inventory":
+    global _INV
+    if _INV is None:
+        _INV = _Inventory()
+    return _INV
+
+
+def _make_page(i: int, seed: int = 42) -> tuple[dict, list[dict], str]:
+    """Page ``i`` of the corpus: (page row, expected triples, extracted
+    golden text). Pure function of (i, seed) — the distributed generator
+    derives the identical page ``i`` without the driver loop."""
+    inv = _inventory()
+    files, methods, classes = inv.files, inv.methods, inv.classes
+    rng = random.Random(seed * 1_000_003 + i)
+
+    url = _page_url(i)
+    ts = _page_ts(i)
+    late = _is_late(i)
+    if late:
+        ts = CUTOFF + timedelta(days=1 + i % 5)
+    noise_only = i % 41 == 40
+    lang = "de" if i % 53 == 52 else "en"
+
+    lines: list[str] = [f"Issue {i}: crash in module pipeline run {i}."]
+    expected: list[dict] = []
+
+    if not noise_only:
             # file-path mention (M1 → J1/J3 STRONG link)
             fent = files[(i * 3) % len(files)]
             lines.append(f"The failure happens in {fent['file_path']} on load.")
@@ -217,33 +237,41 @@ def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
                 j = rng.randrange(0, i - 1)
                 lines.append(f"Possibly related to #{j} reported earlier.")
                 # leakage rule: only link if the referenced page's ts <= ours
-                if page_ts[j] <= ts and not (j % 37 == 36):
+                if _page_ts(j) <= ts and not _is_late(j):
                     expected.append(
                         dict(subj=f"issue:{url}", predicate="points to issue",
                              obj=f"issue:{_page_url(j)}",
                              weight=NORMAL_CONNECTION, src_url=url)
                     )
-        # noise every page: must NOT produce triples
-        lines.append("See the `description` and `traceback` for details.")
-        lines.append("Contact maintainer@example.com or visit docs.example.com now.")
-        lines.append("The __init__ and __repr__ look fine.")
+    # noise every page: must NOT produce triples
+    lines.append("See the `description` and `traceback` for details.")
+    lines.append("Contact maintainer@example.com or visit docs.example.com now.")
+    lines.append("The __init__ and __repr__ look fine.")
 
-        body = "\n".join(lines)
-        html = _wrap_html(body, rng)
-        has_text = i % 2 == 0  # half the pages exercise the HTML path
-        extracted = extract_text_from_html(html)
-        corpus.pages.append(
-            dict(
-                url=url,
-                warc_ts=ts,
-                html=html,
-                text=body if has_text else None,
-                lang=lang,
-            )
-        )
-        corpus.golden_text.append(dict(url=url, extracted_text=extracted))
-        if not late and lang == "en":
-            corpus.golden_triples.extend(expected)
+    body = "\n".join(lines)
+    html = _wrap_html(body, rng)
+    has_text = i % 2 == 0  # half the pages exercise the HTML path
+    page = dict(
+        url=url,
+        warc_ts=ts,
+        html=html,
+        text=body if has_text else None,
+        lang=lang,
+    )
+    valid = (not late) and lang == "en"
+    return page, (expected if valid else []), extract_text_from_html(html)
+
+
+def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
+    corpus = Corpus()
+    corpus.entities = _inventory().entities
+    corpus.golden_triples.extend(_structural_triples(corpus.entities))
+
+    for i in range(n_pages):
+        page, expected, extracted = _make_page(i, seed)
+        corpus.pages.append(page)
+        corpus.golden_text.append(dict(url=page["url"], extracted_text=extracted))
+        corpus.golden_triples.extend(expected)
 
     # FIXTURES §6: duplicate page (same url, two crawl timestamps)
     if n_pages > 10:
@@ -298,13 +326,7 @@ def pages_dataframe_distributed(spark, n_pages: int, seed: int = 42, partitions:
 
     def gen(batches):
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                sub = generate_corpus(1, seed + i)  # seed-shifted single page
-                p = sub.pages[0]
-                p["url"] = _page_url(i)
-                rows.append(p)
+            rows = [_make_page(int(i), seed)[0] for i in pdf["id"]]
             out = pd.DataFrame(rows)
             out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
             yield out[["url", "warc_ts", "html", "text", "lang"]]

