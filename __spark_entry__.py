@@ -269,6 +269,47 @@ def _lang_distribution(spark, sf_dir):
     )
 
 
+def _a2_context_score(spark, sf_dir):
+    """A2: context score — count of query tokens contained in candidate
+    text (fl.py:247-251 semantics), over documents."""
+    d = _t(spark, sf_dir, "documents")
+    q_terms = F.array(F.lit("table"), F.lit("join"), F.lit("spark"), F.lit("query"))
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, q_terms)).alias("context_score"),
+    )
+
+
+def _a3_pattern_counts(spark, sf_dir):
+    """A3: per-pattern hit counters (utils.py:90-100) — how many documents
+    match each regex pattern."""
+    d = _t(spark, sf_dir, "documents")
+    pats = {
+        "has_table": r"\btable\b",
+        "has_join": r"\bjoin\b",
+        "has_digit": r"[0-9]",
+    }
+    aggs = [
+        F.sum(F.when(F.col("text").rlike(p), 1).otherwise(0)).alias(name)
+        for name, p in pats.items()
+    ]
+    return d.agg(*aggs)
+
+
+def _u1_order_dedup_union(spark, sf_dir):
+    """U1/U3: union of ref-id sources + order-preserving dedup — distinct
+    (custkey, priority) pairs from two differently-filtered order scans."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_orderpriority")
+    return a.unionByName(b).distinct().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 def _g8_connected_components(spark, sf_dir):
     """G8: connected components over the per-customer order chain graph.
 
@@ -424,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text_stats,
         "text_distinct_ratio": _text_distinct_ratio,
         "lang_distribution": _lang_distribution,
+        "a2_context_score": _a2_context_score,
+        "a3_pattern_counts": _a3_pattern_counts,
+        "u1_order_dedup_union": _u1_order_dedup_union,
         "g8_connected_components": _g8_connected_components,
         "g2_bfs_hops": _g2_bfs_hops,
         # rows-only
@@ -568,6 +612,29 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "a2_context_score": """
+            SELECT doc_id,
+                   len(list_intersect(
+                     list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)),
+                     ['table', 'join', 'spark', 'query'])) AS context_score
+            FROM documents
+        """,
+        "a3_pattern_counts": """
+            SELECT
+              sum(CASE WHEN regexp_matches(text, '\\btable\\b') THEN 1 ELSE 0 END) AS has_table,
+              sum(CASE WHEN regexp_matches(text, '\\bjoin\\b') THEN 1 ELSE 0 END) AS has_join,
+              sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS has_digit
+            FROM documents
+        """,
+        "u1_order_dedup_union": """
+            SELECT o_orderpriority, count(*) AS n_pairs FROM (
+              SELECT DISTINCT o_custkey, o_orderpriority FROM (
+                SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+              )
+            ) GROUP BY o_orderpriority
         """,
         "g8_connected_components": """
             SELECT o_orderkey,

@@ -157,7 +157,12 @@ def link_issue_refs(mentions: DataFrame, pages_meta: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_file_search(mentions: DataFrame, entities: DataFrame, top_k: int = FUZZY_FILE_TOP_K) -> DataFrame:
+def fuzzy_file_search(
+    mentions: DataFrame,
+    entities: DataFrame,
+    top_k: int = FUZZY_FILE_TOP_K,
+    salt: int = 0,
+) -> DataFrame:
     """J2: fuzzy path scoring for file mentions that failed the exact join.
 
     Reference (knowledge_graph.py:688-735) scores candidate files by matched
@@ -165,9 +170,15 @@ def fuzzy_file_search(mentions: DataFrame, entities: DataFrame, top_k: int = FUZ
     Spark restatement = candidate generation by token blocking:
       explode mention path tokens → join on token vs an exploded file-token
       inverted index → groupBy (mention, file) to score → top-k per mention.
-    The token join is the skew point: tokens are salted implicitly by
-    blocking on (token) with AQE skew-join enabled; hot generic tokens were
-    already removed by the noise filter.
+    The token join is the skew point: Zipfian identifier tokens (the
+    reference's own stopword tables exist because of them). Two defenses:
+    AQE skew-join splits oversized shuffle partitions at runtime, and
+    ``salt > 0`` pre-splits explicitly — mention rows get a random salt in
+    [0, salt), the (small) entity-token side is replicated salt× so the
+    join key becomes (tok, salt): one hot token spreads over ``salt``
+    reducers. Use salting when the dictionary side is too big to broadcast;
+    with a broadcast dictionary (the default here) no shuffle exists and
+    skew is moot.
     Returns (url, text, entity_id, score, rank).
     """
     file_tokens = (
@@ -188,8 +199,20 @@ def fuzzy_file_search(mentions: DataFrame, entities: DataFrame, top_k: int = FUZ
         )
         .withColumn("tok", F.regexp_replace(F.lower("tok"), r"\.py$", ""))
     )
+    if salt > 0:
+        # deterministic salt from the row content (not rand(): keeps runs
+        # reproducible); entity side replicated salt× via explode
+        mention_tokens = mention_tokens.withColumn(
+            "_salt", F.pmod(F.xxhash64("url", "text"), F.lit(salt))
+        )
+        file_tokens = file_tokens.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("long"))
+        join_keys = ["tok", "_salt"]
+    else:
+        join_keys = ["tok"]
     scored = (
-        mention_tokens.join(F.broadcast(file_tokens), "tok")
+        mention_tokens.join(F.broadcast(file_tokens), join_keys)
         .groupBy("url", "text", "entity_id", "_path")
         .agg(F.count("*").alias("matched_parts"))
         .withColumn(

