@@ -186,6 +186,138 @@ def snippet_references(snippet: str) -> list[tuple[str, str]]:
 
 
 # ---------------------------------------------------------------------------
+# J9 — call-graph extraction (language_factory.py:26-133)
+# ---------------------------------------------------------------------------
+
+CALL_ROW_SCHEMA = (
+    "caller_name string, caller_path string, callee_candidate string, "
+    "callee_short string"
+)
+
+
+def method_call_sites(file_path: str, source: str) -> list[dict]:
+    """Per method, the candidate full names of every call inside it:
+    import-resolved, same-module, same-class and bare forms — the
+    reference's candidate-name construction (language_factory.py:77-99).
+    One row per (caller, candidate)."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return []
+    module = _module_of(file_path)
+    aliases = import_alias_map(source)
+    rows: list[dict] = []
+
+    def visit_fn(fn: ast.FunctionDef | ast.AsyncFunctionDef, qual_prefix: str, cls: str | None):
+        caller = f"{qual_prefix}.{fn.name}"
+        for node in ast.walk(fn):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            cands: list[str] = []
+            if isinstance(f, ast.Name):
+                base = aliases.get(f.id, None)
+                if base:
+                    cands.append(base)
+                cands.append(f"{module}.{f.id}")     # same-module
+                if cls:
+                    cands.append(f"{module}.{cls}.{f.id}")  # same-class
+                cands.append(f.id)                    # bare
+                short = f.id
+            elif isinstance(f, ast.Attribute):
+                short = f.attr
+                if isinstance(f.value, ast.Name):
+                    base = aliases.get(f.value.id, f.value.id)
+                    cands.append(f"{base}.{f.attr}")
+                    if f.value.id == "self" and cls:
+                        cands.append(f"{module}.{cls}.{f.attr}")
+                cands.append(f.attr)
+            else:
+                continue
+            for c in dict.fromkeys(cands):
+                rows.append(
+                    dict(
+                        caller_name=caller,
+                        caller_path=file_path,
+                        callee_candidate=c,
+                        callee_short=short,
+                    )
+                )
+
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            visit_fn(node, module, None)
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    visit_fn(sub, f"{module}.{node.name}", node.name)
+    return rows
+
+
+def extract_call_sites(files: DataFrame, path_col: str = "file_path", src_col: str = "source") -> DataFrame:
+    """mapInPandas wrapper for :func:`method_call_sites`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["caller_name", "caller_path", "callee_candidate", "callee_short"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, src in zip(pdf[path_col], pdf[src_col]):
+                rows.extend(method_call_sites(path or "", src or ""))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=CALL_ROW_SCHEMA)
+
+
+def call_graph_edges(call_sites: DataFrame, entities: DataFrame) -> DataFrame:
+    """J9 resolution: candidate names → method inventory → Method↔Method
+    ``calls method`` triples.
+
+    Broadcast equi-join on the candidate full name (exact), falling back to
+    short-name match restricted to the same module prefix
+    (language_factory.py:108-127 prefix/suffix matching). Deterministic
+    winner per (caller, callee_short) = min entity_id; caller must itself
+    resolve to an inventory method.
+    """
+    from pyspark.sql import functions as F
+
+    from ..config import NORMAL_CONNECTION
+
+    methods = entities.filter(entities["kind"] == "method").select(
+        F.col("entity_id").alias("callee_id"),
+        F.col("name").alias("callee_name"),
+        F.col("short_name").alias("_short"),
+    )
+    callers = entities.filter(entities["kind"] == "method").select(
+        F.col("entity_id").alias("caller_id"),
+        F.col("name").alias("_caller_name"),
+        F.col("file_path").alias("_caller_path"),
+    )
+    exact = call_sites.join(
+        F.broadcast(methods), F.col("callee_candidate") == F.col("callee_name")
+    )
+    resolved = (
+        exact.groupBy("caller_name", "caller_path", "callee_short")
+        .agg(F.min("callee_id").alias("callee_id"))
+    )
+    return (
+        resolved.join(
+            F.broadcast(callers),
+            (F.col("caller_name") == F.col("_caller_name"))
+            & (F.col("caller_path") == F.col("_caller_path")),
+        )
+        .filter(F.col("caller_id") != F.col("callee_id"))
+        .select(
+            F.col("caller_id").alias("subj"),
+            F.lit("calls method").alias("predicate"),
+            F.col("callee_id").alias("obj"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+            F.lit("").alias("src_url"),
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+"""Input connectors (SURVEY.md §2.1 scans).
+
+  S1  JSONL scan (skip bad lines)        mine_kg_bulk.py:511-526
+  S2  columnar dataset scan + filter     fl.py:778-827
+  S4  binary read w/ encoding tolerance  utils.py:295-309
+  S8  CSV scan                           fl.py:1799-1810
+  P15 multi-format timestamp parsing     fl.py:830-866
+
+All thin, schema-explicit wrappers over spark.read — the point is the
+contract (explicit schema, bad-record tolerance, no runtime inference
+surprises at 100 TB), not the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import PAGES_SCHEMA
+
+# P15: the reference tries these formats in order (fl.py:830-866)
+_TS_FORMATS = (
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+)
+
+
+def parse_timestamp_multi(col: Column) -> Column:
+    """P15: first-match multi-format timestamp parse → timestamp (UTC
+    session). try_to_timestamp returns null on mismatch; coalesce walks the
+    format list in the reference's order."""
+    attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in _TS_FORMATS]
+    return F.coalesce(*attempts)
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Pages-table scan in any of the supported encodings, normalized to the
+    canonical schema. JSONL uses PERMISSIVE mode (bad lines → null row,
+    dropped) matching the reference's skip-bad-lines loop (S1)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("json", "jsonl"):
+        raw = (
+            spark.read.schema(
+                "url string, warc_ts string, html string, text string, lang string"
+            )
+            .option("mode", "PERMISSIVE")
+            .json(path)
+        )
+        return raw.filter(F.col("url").isNotNull()).select(
+            "url",
+            parse_timestamp_multi(F.col("warc_ts")).alias("warc_ts"),
+            F.encode(F.coalesce(F.col("html"), F.lit("")), "utf-8").alias("html"),
+            "text",
+            "lang",
+        )
+    if fmt == "csv":
+        raw = (
+            spark.read.option("header", "true")
+            .schema("url string, warc_ts string, text string, lang string")
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
+        return raw.select(
+            "url",
+            parse_timestamp_multi(F.col("warc_ts")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+    if fmt == "binary":
+        # S4: raw crawl bodies; decode tolerance lives in the HTML→text UDF
+        raw = spark.read.format("binaryFile").load(path)
+        return raw.select(
+            F.col("path").alias("url"),
+            F.col("modificationTime").alias("warc_ts"),
+            F.col("content").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    raise ValueError(f"unsupported pages format: {fmt}")
