@@ -446,6 +446,41 @@ def _kg_pipeline_triples(spark, sf_dir):
     )
 
 
+def _kg_from_sources(spark, sf_dir):
+    """Self-contained loop (rows-only): parse an inventory out of source
+    text, link page mentions against it, add J9 call-graph edges."""
+    import datetime
+
+    from kgcompass_spark.pipeline import build_kg_from_sources
+
+    src = (
+        '"""mod."""\n\nclass Alpha:\n    def run_fast(self, v):\n'
+        "        return helper_val(v)\n\ndef helper_val(v):\n    return v\n"
+    )
+    sources = spark.createDataFrame(
+        [("demo/alpha.py", src)], "file_path string, source string"
+    )
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://t.example/issues/1",
+                datetime.datetime(2020, 5, 1),
+                None,
+                "Crash in demo/alpha.py calling `demo.alpha.Alpha.run_fast` now.",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = build_kg_from_sources(pages, sources)
+    return (
+        out["triples"]
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicate")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-checked
@@ -478,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _lsh_cosine_topk,
         "g6_pagerank": _g6_pagerank,
         "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_from_sources_triples": _kg_from_sources,
     }
 
 

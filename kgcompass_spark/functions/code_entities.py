@@ -337,6 +337,78 @@ def extract_entities(files: DataFrame, path_col: str = "file_path", src_col: str
     return files.mapInPandas(run, schema=ENTITY_ROW_SCHEMA)
 
 
+def inventory_from_sources(files: DataFrame) -> DataFrame:
+    """Full alias-dictionary construction from a (file_path, source) table —
+    SURVEY.md §7.1 step 3: the inventory is *parsed from the corpus*, not
+    hand-supplied. Emits the FIXTURES.md §2 entities schema:
+    parsed classes/methods/globals (E1–E3) + file + directory rows derived
+    from the paths, with normalized-path entity ids matching the fixture
+    generator's id scheme.
+    """
+    from pyspark.sql import functions as F
+
+    from .cleaning import module_path, normalize_path
+
+    parsed = extract_entities(files).withColumn(
+        "file_path", normalize_path(F.col("file_path"))
+    )
+    code_rows = parsed.select(
+        F.concat(F.col("kind"), F.lit(":"), F.col("name"), F.lit("@"), F.col("file_path")).alias("entity_id"),
+        "kind",
+        "name",
+        "short_name",
+        "signature",
+        "file_path",
+        "start_line",
+        "end_line",
+        "doc_string",
+        F.array(F.col("short_name")).alias("aliases"),
+    )
+    paths = files.select(normalize_path(F.col("file_path")).alias("file_path")).distinct()
+    file_rows = paths.select(
+        F.concat(F.lit("file:"), F.col("file_path")).alias("entity_id"),
+        F.lit("file").alias("kind"),
+        module_path(F.col("file_path")).alias("name"),
+        F.element_at(F.split("file_path", "/"), -1).alias("short_name"),
+        F.lit("").alias("signature"),
+        "file_path",
+        F.lit(0).alias("start_line"),
+        F.lit(0).alias("end_line"),
+        F.lit("").alias("doc_string"),
+        F.array(
+            F.element_at(F.split("file_path", "/"), -1),
+            F.regexp_replace(F.element_at(F.split("file_path", "/"), -1), r"\.py$", ""),
+        ).alias("aliases"),
+    )
+    # every ancestor directory of every file (posexplode over the path parts)
+    dirs = (
+        paths.filter(F.col("file_path").contains("/"))
+        .select(F.regexp_replace("file_path", "/[^/]+$", "").alias("d"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("d", "/"))),
+                    lambda i: F.array_join(F.slice(F.split(F.col("d"), "/"), 1, i), "/"),
+                )
+            ).alias("file_path")
+        )
+        .distinct()
+    )
+    dir_rows = dirs.select(
+        F.concat(F.lit("directory:"), F.col("file_path")).alias("entity_id"),
+        F.lit("directory").alias("kind"),
+        F.regexp_replace("file_path", "/", ".").alias("name"),
+        F.element_at(F.split("file_path", "/"), -1).alias("short_name"),
+        F.lit("").alias("signature"),
+        "file_path",
+        F.lit(0).alias("start_line"),
+        F.lit(0).alias("end_line"),
+        F.lit("").alias("doc_string"),
+        F.array(F.element_at(F.split("file_path", "/"), -1)).alias("aliases"),
+    )
+    return code_rows.unionByName(file_rows).unionByName(dir_rows)
+
+
 def extract_snippet_refs(pages: DataFrame, url_col: str = "url", text_col: str = "clean_text") -> DataFrame:
     """M6 over pages: fenced blocks → AST references, exploded rows."""
 

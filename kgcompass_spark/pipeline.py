@@ -111,6 +111,35 @@ def pages_meta_from(prepared: DataFrame) -> DataFrame:
     ).filter(F.col("doc_key") != "")
 
 
+def build_kg_from_sources(
+    pages: DataFrame,
+    source_files: DataFrame,
+    cutoff: datetime | None = None,
+    include_reverse: bool = False,
+    persist: bool = False,
+) -> dict[str, DataFrame]:
+    """Fully self-contained variant (SURVEY.md §7.1 step 3): the alias
+    dictionary is PARSED from ``source_files(file_path, source)`` instead of
+    supplied, and call-graph `calls method` triples (J9) are added."""
+    from .functions.code_entities import (
+        call_graph_edges,
+        extract_call_sites,
+        inventory_from_sources,
+    )
+
+    entities = inventory_from_sources(source_files)
+    if persist:
+        entities = entities.persist()
+    out = build_kg(pages, entities, cutoff, include_reverse=False, persist=persist)
+    calls = call_graph_edges(extract_call_sites(source_files), entities)
+    triples = out["triples"].unionByName(calls)
+    if include_reverse:
+        triples = with_reverse_edges(triples)
+    out["triples"] = triples
+    out["entities"] = entities
+    return out
+
+
 def build_kg(
     pages: DataFrame,
     entities: DataFrame,
