@@ -68,14 +68,23 @@ def html_to_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_from_html)
 
 
+@F.pandas_udf(StringType())
+def page_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Prefer pre-extracted text; decode html only where text is absent.
+    The branch lives INSIDE the UDF because Catalyst evaluates a UDF column
+    referenced under `when(...)` for every row — branching here confines the
+    (expensive) extraction to exactly the null-text subset of each batch."""
+    need = text.isna() | (text.str.len() == 0)
+    out = text.copy()
+    if need.any():
+        out[need] = html[need].map(extract_text_from_html)
+    return out.fillna("")
+
+
 def page_text(html_col: Column, text_col: Column) -> Column:
-    """Prefer the pre-extracted ``text`` column; fall back to extraction
-    from ``html`` (FIXTURES.md §1: text may be null). Catalyst only invokes
-    the UDF on rows where text is null — the `when` short-circuits the
-    Python batch to the null subset."""
-    return F.when(
-        text_col.isNotNull() & (F.length(text_col) > 0), text_col
-    ).otherwise(html_to_text_udf(html_col))
+    """Pre-extracted ``text`` when present, else HTML→text extraction
+    (FIXTURES.md §1: text may be null)."""
+    return page_text_udf(html_col, text_col)
 
 
 # Sentence segmentation (north_star: "sentence segmentation in vectorized
