@@ -646,7 +646,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            -- CAST: DuckDB sum(int) is HUGEINT; Spark returns BIGINT — align types
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "a2_context_score": """
@@ -658,9 +659,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_pattern_counts": """
             SELECT
-              sum(CASE WHEN regexp_matches(text, '\\btable\\b') THEN 1 ELSE 0 END) AS has_table,
-              sum(CASE WHEN regexp_matches(text, '\\bjoin\\b') THEN 1 ELSE 0 END) AS has_join,
-              sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS has_digit
+              CAST(sum(CASE WHEN regexp_matches(text, '\\btable\\b') THEN 1 ELSE 0 END) AS BIGINT) AS has_table,
+              CAST(sum(CASE WHEN regexp_matches(text, '\\bjoin\\b') THEN 1 ELSE 0 END) AS BIGINT) AS has_join,
+              CAST(sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS has_digit
             FROM documents
         """,
         "u1_order_dedup_union": """

@@ -44,7 +44,11 @@ def strip_target_fix_references(col: Column, target_id: Column) -> Column:
     djangoproject ticket URLs, ``pr/pull request/issue #N`` phrases, bare
     ``#N``. ``target_id`` is escaped digits in practice (issue numbers).
     """
-    tid = F.coalesce(target_id.cast("string"), F.lit(""))
+    # escape regex metacharacters in the id (reference applies re.escape,
+    # fl.py:148) — an id like "1.2(a)" must match literally, not as a pattern
+    tid = F.regexp_replace(
+        F.coalesce(target_id.cast("string"), F.lit("")), r"([^A-Za-z0-9_])", r"\\$1"
+    )
     c = F.coalesce(col, F.lit(""))
     url_pat = F.concat(
         F.lit(r"(?i)https?://github\.com/[^\s<>)\]]+/(?:pull|pulls|issues)/"),

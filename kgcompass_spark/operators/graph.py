@@ -94,7 +94,7 @@ def bounded_sssp(
             .limit(frontier_cap)
             .localCheckpoint(eager=True)
         )
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():  # SQL-side probe; .rdd would force a conversion
             break
     return best
 

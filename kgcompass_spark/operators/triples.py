@@ -68,14 +68,24 @@ def structural_triples(entities: DataFrame) -> DataFrame:
         F.lit("contains class").alias("predicate"),
         F.col("entity_id").alias("obj"),
     )
+    # A method's container is its class — unless the name minus the last
+    # segment is the *module* path (a top-level function), in which case the
+    # container is the file (reference emits File-[contains method]->Method,
+    # knowledge_graph.py:920-926; we use the distinct forward predicate
+    # 'contains method in file' so the inverse map stays a function).
+    from ..functions.cleaning import module_path
+
+    parent = F.regexp_replace("name", r"\.[^.]+$", "")
+    is_toplevel = parent == module_path(F.col("file_path"))
     methods = entities.filter(F.col("kind") == "method").select(
-        F.concat(
-            F.lit("class:"),
-            F.regexp_replace("name", r"\.[^.]+$", ""),
-            F.lit("@"),
-            F.col("file_path"),
-        ).alias("subj"),
-        F.lit("contains method").alias("predicate"),
+        F.when(is_toplevel, F.concat(F.lit("file:"), F.col("file_path")))
+        .otherwise(
+            F.concat(F.lit("class:"), parent, F.lit("@"), F.col("file_path"))
+        )
+        .alias("subj"),
+        F.when(is_toplevel, F.lit("contains method in file"))
+        .otherwise(F.lit("contains method"))
+        .alias("predicate"),
         F.col("entity_id").alias("obj"),
     )
     return (

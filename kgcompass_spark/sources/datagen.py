@@ -237,7 +237,11 @@ def _make_page(i: int, seed: int = 42) -> tuple[dict, list[dict], str]:
                 j = rng.randrange(0, i - 1)
                 lines.append(f"Possibly related to #{j} reported earlier.")
                 # leakage rule: only link if the referenced page's ts <= ours
-                if _page_ts(j) <= ts and not _is_late(j):
+                # AND the target page survives the lang filter (non-English
+                # pages are dropped by the pipeline, so a ref to one is
+                # unlinkable — without this the golden set holds unreachable
+                # triples and recall undercounts at n_pages >= ~400)
+                if _page_ts(j) <= ts and not _is_late(j) and j % 53 != 52:
                     expected.append(
                         dict(subj=f"issue:{url}", predicate="points to issue",
                              obj=f"issue:{_page_url(j)}",

@@ -71,8 +71,13 @@ def run_stream_to_memory(
     in ``input_dir`` (test/smoke harness): memory sink + processAllAvailable.
     Returns the StreamingQuery (stopped)."""
     counts = windowed_mention_counts(streaming_mentions(read_pages_stream(spark, input_dir)))
+    # update mode (not complete): with a watermark, update mode lets Spark
+    # evict window state once the watermark passes — complete mode would keep
+    # every window forever, so the late-data bound would not hold on a
+    # continuous stream. The memory table accumulates one row per window
+    # update; readers take the latest row per (window, mtype).
     q = (
-        counts.writeStream.outputMode("complete")
+        counts.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()
