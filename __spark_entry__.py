@@ -446,6 +446,29 @@ def _kg_pipeline_triples(spark, sf_dir):
     )
 
 
+def _kg_full_predicates(spark, sf_dir):
+    """Full pipeline incl. commit / repair-experience / documentation
+    context stages — per-predicate counts; all 17 forward predicate pairs
+    from PREDICATE_INVERSE appear (rows-only; the token-blocked scoring
+    joins aren't SQL-expressible in DuckDB without the same UDF battery)."""
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.sources.datagen import (
+        CUTOFF,
+        context_corpus_dataframes,
+        corpus_dataframes,
+    )
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=120)
+    commits, docs, _ = context_corpus_dataframes(spark, n_pages=120)
+    out = build_kg(pages, entities, cutoff=CUTOFF, commits=commits, docs=docs)
+    return (
+        out["triples"]
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n"), F.round(F.avg("weight"), 4).alias("avg_weight"))
+        .orderBy("predicate")
+    )
+
+
 def _kg_from_sources(spark, sf_dir):
     """Self-contained loop (rows-only): parse an inventory out of source
     text, link page mentions against it, add J9 call-graph edges."""
@@ -513,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _lsh_cosine_topk,
         "g6_pagerank": _g6_pagerank,
         "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
     }
 

@@ -36,6 +36,48 @@ DECAY_FACTOR = 0.6
 VECTOR_SIMILARITY_WEIGHT = 0.3
 
 # ---------------------------------------------------------------------------
+# Context-stage limits (fl.py:2091, 2321-2324, 2445-2447 env defaults)
+# ---------------------------------------------------------------------------
+COMMIT_CONTEXT_LIMIT = 20          # top commits linked per issue
+COMMIT_CONTEXT_MAX_FILES = 40      # commits touching more files are skipped
+COMMIT_LINK_FILES_CAP = 30         # modified-file edges emitted per commit
+REPAIR_EXPERIENCE_LIMIT = 12
+REPAIR_EXPERIENCE_MIN_SCORE = 3
+REPAIR_EXPERIENCE_MAX_FILES = 20
+DOC_CONTEXT_LIMIT = 8              # == DOC_CANDIDATE_LIMIT (fl.py:2091)
+
+# Context-token stop set (fl.py:232-246 _context_tokens)
+CONTEXT_STOPWORDS = frozenset({
+    "the", "and", "for", "with", "from", "this", "that", "when",
+    "should", "would", "could", "error", "issue", "using",
+})
+
+# Boilerplate doc names excluded from doc/commit context (fl.py:58-65)
+BOILERPLATE_DOC_NAMES = frozenset({
+    "code_of_conduct", "contributing", "license", "security",
+    "issue_template", "pull_request_template",
+})
+
+# Java-regex forms of the reference's commit-message classifiers
+# (fl.py:106-115 MAINTENANCE_COMMIT_RE, fl.py:116-123 REPAIR_EXPERIENCE_RE)
+MAINTENANCE_COMMIT_REGEX = (
+    r"(?i)\b("
+    r"pyupgrade|pre-commit|precommit|black|isort|ruff|flake8|pylint|"
+    r"format(?:ting)?|style|lint|whitespace|typo|spelling|"
+    r"docstring|sphinx|warning|codestyle|"
+    r"D\d{3,4}|B\d{3,4}|SIM\d{3,4}|RUF\d{3,4}|E\d{3,4}|W\d{3,4}|F\d{3,4}|"
+    r"dependabot|bump|changelog|release notes"
+    r")\b"
+)
+REPAIR_EXPERIENCE_REGEX = (
+    r"(?i)\b("
+    r"fix(?:e[sd])?|bug(?:fix)?|error|fail(?:ed|s|ure)?|regression|"
+    r"incorrect(?:ly)?|wrong|crash(?:es|ed)?|exception|broken|repair|"
+    r"resolve(?:[sd])?|invalid"
+    r")\b"
+)
+
+# ---------------------------------------------------------------------------
 # Predicate vocabulary — the 17 symmetric pairs (knowledge_graph.py §2.6).
 # Key = forward predicate, value = reverse predicate.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,395 @@
+"""Context link stages — commit / repair-experience / documentation edges.
+
+Emits the 8 predicate pairs the core link battery doesn't produce:
+  issue  -[points to commit]->             commit   (fl.py:2472-2477)
+  commit -[modified file]->                file     (fl.py:2488-2500)
+  method -[modified by commit]->           commit   (knowledge_graph.py:860-877)
+  issue  -[points to repair experience]->  exp      (fl.py:2384-2396)
+  exp    -[mentions file]->                file     (fl.py:2397-2410)
+  issue  -[points to documentation]->      doc      (fl.py:2290-2311)
+  doc    -[mentions file by documentation]-> file   (fl.py:2312-2315)
+  issue  -[points to method/class ×1.5]->  entity   (fl.py:2139 doc multiplier)
+
+Reference semantics (fl.py:2317-2560): per issue, score every historical
+commit / doc file by counting issue context tokens contained in the artifact
+text, keep the top-N, emit edges. The reference is a driver-side loop over
+``repo.iter_commits`` per issue; the Spark restatement is one token-blocked
+inverted-index join for ALL issues at once:
+
+  issue tokens (explode) ⋈ broadcast(artifact token index) → count distinct
+  matched tokens per (issue, artifact) → rank/limit per issue (window).
+
+Deviation, documented: the reference tests substring containment
+(``token in text_lower``); we match whole tokens of the same alphabet on
+both sides. Substring containment cannot be hash-joined — it is a cartesian
+scan per issue, exactly the O(issues × commits) loop that cannot run at
+10^12 pages. Whole-token matching is the blockable restatement; the fixture
+goldens use the same semantics.
+
+Scale: the artifact side (a repo's commits + docs) is tiny next to the pages
+table — broadcast it; the issue-token explode is a narrow map over pages.
+The only shuffle is the per-(issue, artifact) count aggregate, map-side
+combined, and the per-issue top-N window partitioned by url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    COMMIT_CONTEXT_LIMIT,
+    COMMIT_CONTEXT_MAX_FILES,
+    COMMIT_LINK_FILES_CAP,
+    CONTEXT_STOPWORDS,
+    DOC_CONTEXT_LIMIT,
+    DOC_CONTEXT_MULTIPLIER,
+    MAINTENANCE_COMMIT_REGEX,
+    NORMAL_CONNECTION,
+    REPAIR_EXPERIENCE_LIMIT,
+    REPAIR_EXPERIENCE_MAX_FILES,
+    REPAIR_EXPERIENCE_MIN_SCORE,
+    STRONG_CONNECTION,
+    WEAK_CONNECTION,
+)
+
+_IDENT_PAT = r"[A-Za-z_][A-Za-z0-9_]{2,}"
+_VERSION_PAT = r"(?i)\bv?\d+(?:\.\d+){1,4}\b"
+_DOTTED_SYMBOL = r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+$"
+
+# commits schema: (commit_id, message, committed_ts, changed_files
+#                  array<string>, changed_spans array<struct<file_path,
+#                  start_line, end_line>>)
+# docs schema:    (doc_path, text)
+# issues schema:  (url, warc_ts, clean_text) — the prepared pages
+
+
+def context_tokens(col) -> F.Column:
+    """fl.py:232-246 ``_context_tokens``: distinct lowercase identifiers of
+    length ≥3 minus the stop set, plus version-number tokens."""
+    idents = F.transform(
+        F.regexp_extract_all(col, F.lit(_IDENT_PAT), 0), lambda t: F.lower(t)
+    )
+    idents = F.array_except(idents, F.array(*[F.lit(s) for s in sorted(CONTEXT_STOPWORDS)]))
+    versions = F.transform(
+        F.regexp_extract_all(col, F.lit(_VERSION_PAT), 0), lambda t: F.lower(t)
+    )
+    return F.array_distinct(F.concat(idents, versions))
+
+
+def _token_rows(df: DataFrame, keys: list[str], text_col) -> DataFrame:
+    """Explode the distinct context tokens of ``text_col`` per row."""
+    return df.select(*keys, F.explode(context_tokens(text_col)).alias("tok"))
+
+
+def score_artifacts(
+    issues: DataFrame, artifacts: DataFrame, id_col: str, text_col
+) -> DataFrame:
+    """Token-blocked context scoring: (url, warc_ts, <id_col>, score) where
+    score = |issue tokens ∩ artifact tokens| (fl.py:247-251 restated).
+
+    Artifact token index is broadcast — no shuffle on the issue side except
+    the final count aggregate.
+    """
+    issue_toks = _token_rows(issues, ["url", "warc_ts"], F.col("clean_text"))
+    art_toks = _token_rows(artifacts, [id_col], text_col)
+    return (
+        issue_toks.join(F.broadcast(art_toks), "tok")
+        .groupBy("url", "warc_ts", id_col)
+        .agg(F.count("*").alias("score"))
+    )
+
+
+def _first_lines(col, n: int) -> F.Column:
+    return F.array_join(F.slice(F.split(col, "\n"), 1, n), "\n")
+
+
+def link_commit_context(
+    issues: DataFrame,
+    commits: DataFrame,
+    limit: int = COMMIT_CONTEXT_LIMIT,
+    max_files: int = COMMIT_CONTEXT_MAX_FILES,
+    link_files_cap: int = COMMIT_LINK_FILES_CAP,
+) -> DataFrame:
+    """Historical-commit context (fl.py:2412-2500).
+
+    Per issue: eligible commits (pre-issue ts, non-maintenance first line,
+    1..max_files changed files) scored by context tokens against
+    message+file-list; top ``limit`` by (-score, -ts, commit_id) linked as
+    'points to commit' (NORMAL). Every selected commit also emits
+    'modified file' (NORMAL) edges for its first ``link_files_cap`` files.
+    Tie-break beyond the reference's (-score, -committed_date): commit_id
+    asc, so output is deterministic.
+    """
+    eligible = commits.filter(
+        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
+        & (F.size("changed_files") > 0)
+        & (F.size("changed_files") <= max_files)
+    )
+    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
+    scored = score_artifacts(issues, eligible.withColumn("_st", score_text), "commit_id", F.col("_st"))
+    scored = (
+        scored.join(
+            F.broadcast(eligible.select("commit_id", "committed_ts")), "commit_id"
+        )
+        .filter(F.col("committed_ts") <= F.col("warc_ts"))  # leakage guard
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
+    )
+    selected = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .select("url", "commit_id")
+    )
+    issue_commit = selected.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+        F.lit("points to commit").alias("predicate"),
+        F.concat(F.lit("commit:"), F.col("commit_id")).alias("obj"),
+        F.lit(NORMAL_CONNECTION).alias("weight"),
+        F.col("url").alias("src_url"),
+    )
+    commit_file = (
+        selected.select("commit_id")
+        .distinct()
+        .join(F.broadcast(eligible.select("commit_id", "changed_files")), "commit_id")
+        .select(
+            "commit_id",
+            F.explode(F.slice("changed_files", 1, link_files_cap)).alias("fp"),
+        )
+        .select(
+            F.concat(F.lit("commit:"), F.col("commit_id")).alias("subj"),
+            F.lit("modified file").alias("predicate"),
+            F.concat(F.lit("file:"), F.col("fp")).alias("obj"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+            F.lit("").alias("src_url"),
+        )
+        .distinct()
+    )
+    return issue_commit.unionByName(commit_file)
+
+
+def commit_method_triples(commits: DataFrame, entities: DataFrame) -> DataFrame:
+    """Method ↔ commit span links (knowledge_graph.py:860-877
+    link_method_to_commit, weight 1): a commit modified a method iff one of
+    its changed line spans overlaps the method's span — the J6 interval join
+    on (file_path equi + range residual)."""
+    spans = commits.select(
+        "commit_id", F.explode("changed_spans").alias("s")
+    ).select(
+        "commit_id",
+        F.col("s.file_path").alias("file_path"),
+        F.col("s.start_line").alias("hunk_start"),
+        F.col("s.end_line").alias("hunk_end"),
+    )
+    methods = entities.filter(F.col("kind") == "method").select(
+        "entity_id", F.col("file_path").alias("_path"), "start_line", "end_line"
+    )
+    hits = (
+        spans.join(F.broadcast(methods), F.col("file_path") == F.col("_path"))
+        .filter(
+            (F.col("start_line") <= F.col("hunk_end"))
+            & (F.col("end_line") >= F.col("hunk_start"))
+        )
+        .select("entity_id", "commit_id")
+        .distinct()
+    )
+    return hits.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("modified by commit").alias("predicate"),
+        F.concat(F.lit("commit:"), F.col("commit_id")).alias("obj"),
+        F.lit(WEAK_CONNECTION).alias("weight"),
+        F.lit("").alias("src_url"),
+    )
+
+
+def link_repair_experience(
+    issues: DataFrame,
+    commits: DataFrame,
+    limit: int = REPAIR_EXPERIENCE_LIMIT,
+    min_score: int = REPAIR_EXPERIENCE_MIN_SCORE,
+    max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
+) -> DataFrame:
+    """Historical repair-experience context (fl.py:2317-2410).
+
+    Repair commits = non-maintenance + repair keywords in the first 3
+    message lines + ≤ max_files changed files. Scored like commit context
+    but gated at score ≥ min_score; top ``limit`` per issue. Links:
+    issue -[points to repair experience]-> repair:<sha> (STRONG),
+    repair:<sha> -[mentions file]-> file (NORMAL).
+    """
+    from ..config import REPAIR_EXPERIENCE_REGEX
+
+    repair = commits.filter(
+        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
+        & _first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX)
+        & (F.size("changed_files") > 0)
+        & (F.size("changed_files") <= max_files)
+    )
+    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
+    scored = (
+        score_artifacts(issues, repair.withColumn("_st", score_text), "commit_id", F.col("_st"))
+        .join(F.broadcast(repair.select("commit_id", "committed_ts")), "commit_id")
+        .filter(F.col("committed_ts") <= F.col("warc_ts"))
+        .filter(F.col("score") >= min_score)
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
+    )
+    selected = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .select("url", "commit_id")
+    )
+    issue_exp = selected.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+        F.lit("points to repair experience").alias("predicate"),
+        F.concat(F.lit("repair:"), F.col("commit_id")).alias("obj"),
+        F.lit(STRONG_CONNECTION).alias("weight"),
+        F.col("url").alias("src_url"),
+    )
+    exp_file = (
+        selected.select("commit_id")
+        .distinct()
+        .join(F.broadcast(repair.select("commit_id", "changed_files")), "commit_id")
+        .select("commit_id", F.explode("changed_files").alias("fp"))
+        .select(
+            F.concat(F.lit("repair:"), F.col("commit_id")).alias("subj"),
+            F.lit("mentions file").alias("predicate"),
+            F.concat(F.lit("file:"), F.col("fp")).alias("obj"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+            F.lit("").alias("src_url"),
+        )
+        .distinct()
+    )
+    return issue_exp.unionByName(exp_file)
+
+
+def doc_symbols(col) -> F.Column:
+    """Doc symbol extraction (fl.py:2141-2180): sphinx roles + backticked
+    spans, cleaned (strip ~, trailing ``()``) and kept only when they are
+    dotted identifiers ≤100 chars — the unambiguous subset of the
+    reference's four patterns; bare single-word symbols are dropped, as the
+    reference drops them unless case-mixed (``_clean_doc_symbol``)."""
+    sphinx = F.regexp_extract_all(
+        col, F.lit(r":(?:func|meth|class|mod|attr|obj|data|exc):`([^`]+)`"), 1
+    )
+    backtick = F.regexp_extract_all(col, F.lit(r"`([^`\n]{2,120})`"), 1)
+    cleaned = F.transform(
+        F.concat(sphinx, backtick),
+        lambda s: F.regexp_replace(
+            F.regexp_replace(F.trim(s), r"^~", ""), r"\(\)$", ""
+        ),
+    )
+    return F.array_distinct(
+        F.filter(
+            cleaned,
+            lambda s: s.rlike(_DOTTED_SYMBOL) & (F.length(s) <= 100),
+        )
+    )
+
+
+def link_documentation(
+    issues: DataFrame,
+    docs: DataFrame,
+    entities: DataFrame,
+    limit: int = DOC_CONTEXT_LIMIT,
+) -> DataFrame:
+    """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass).
+
+    Per issue: docs scored by context tokens against path+text, score > 0,
+    top ``limit`` by (-score, doc_path). Each selected (issue, doc) becomes
+    a Documentation node ``doc:<issue-url>:<sha1(path)[:12]>`` (the
+    reference keys doc nodes per issue, fl.py:2307-2308). Symbols in the doc
+    resolve against the entity inventory by exact qualified name:
+      doc  -[mentions file by documentation]-> file   (NORMAL)
+      issue-[points to method/class]-> entity         (NORMAL × 1.5 — the
+        DOC_CONTEXT_MULTIPLIER weakening for doc-derived evidence, fl.py:2139)
+    """
+    from ..config import BOILERPLATE_DOC_NAMES
+
+    # doc eligibility (fl.py:2097-2112): .md/.rst/.txt only, boilerplate
+    # basenames (LICENSE, CONTRIBUTING, ...) excluded
+    base = F.lower(F.element_at(F.split(F.col("doc_path"), "/"), -1))
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    docs = docs.filter(
+        base.rlike(r"\.(md|rst|txt)$")
+        & ~stem.isin(*sorted(BOILERPLATE_DOC_NAMES))
+    )
+    score_text = F.concat_ws("\n", F.col("doc_path"), F.col("text"))
+    scored = score_artifacts(
+        issues, docs.withColumn("_st", score_text), "doc_path", F.col("_st")
+    ).filter(F.col("score") > 0)
+    w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("doc_path"))
+    selected = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .select("url", "doc_path")
+    )
+    doc_id = F.concat(
+        F.lit("doc:"), F.col("url"), F.lit(":"), F.substring(F.sha1("doc_path"), 1, 12)
+    )
+    issue_doc = selected.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+        F.lit("points to documentation").alias("predicate"),
+        doc_id.alias("obj"),
+        F.lit(NORMAL_CONNECTION).alias("weight"),
+        F.col("url").alias("src_url"),
+    )
+    # resolve symbols once per doc (docs are few), then fan out per issue
+    symbols = docs.select(
+        "doc_path", F.explode(doc_symbols(F.col("text"))).alias("sym")
+    )
+    named = entities.select("entity_id", "kind", "file_path", F.col("name").alias("_name"))
+    resolved = symbols.join(F.broadcast(named), F.col("sym") == F.col("_name")).select(
+        "doc_path", "entity_id", "kind", "file_path"
+    )
+    sel_resolved = selected.join(resolved, "doc_path")
+    doc_file = (
+        sel_resolved.select(
+            doc_id.alias("subj"),
+            F.lit("mentions file by documentation").alias("predicate"),
+            F.concat(F.lit("file:"), F.col("file_path")).alias("obj"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+            F.lit("").alias("src_url"),
+        )
+        .distinct()
+    )
+    pred = F.when(F.col("kind") == "class", F.lit("points to class")).otherwise(
+        F.lit("points to method")
+    )
+    issue_entity = (
+        sel_resolved.filter(F.col("kind").isin("method", "class", "global_var"))
+        .select(
+            F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+            pred.alias("predicate"),
+            F.col("entity_id").alias("obj"),
+            F.lit(NORMAL_CONNECTION * DOC_CONTEXT_MULTIPLIER).alias("weight"),
+            F.col("url").alias("src_url"),
+        )
+        .distinct()
+    )
+    return issue_doc.unionByName(doc_file).unionByName(issue_entity)
+
+
+def context_triples(
+    issues: DataFrame,
+    entities: DataFrame,
+    commits: DataFrame | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame | None:
+    """All context stages unioned; None when no context inputs exist."""
+    parts = []
+    if commits is not None:
+        parts.append(link_commit_context(issues, commits))
+        parts.append(commit_method_triples(commits, entities))
+        parts.append(link_repair_experience(issues, commits))
+    if docs is not None:
+        parts.append(link_documentation(issues, docs, entities))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

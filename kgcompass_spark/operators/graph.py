@@ -105,9 +105,21 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
 ) -> DataFrame:
-    """G8: connected components by alternating large-star / small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    converges in O(log² n) rounds, each round two shuffles.
+    """G8: connected components — min-label propagation with pointer
+    jumping over a DELTA frontier (the canonicalization CC of the
+    north_rule, GraphFrames-style iterative joins).
+
+    Two scale decisions, both measured (round-1 verdict):
+      1. The symmetric edge list is ``localCheckpoint``ed ONCE up front —
+         uncached, every round's action re-runs the full upstream lineage
+         (source scan + dedup shuffles), which dominated wall time.
+      2. Neighbor propagation joins only the CHANGED nodes (the frontier)
+         against the edge list, not the whole parent table: after the first
+         rounds most nodes have converged, so each round's shuffle shrinks
+         with the frontier. Pointer jumping (comp ← comp(comp)) stays a
+         full self-join on the (small) parent table and keeps rounds
+         logarithmic. Convergence = empty frontier, which the loop gets for
+         free — no extra probe join.
 
     Returns (node, component) with component = min node id in the component
     (string min — ids are strings; canonical entity id per SURVEY.md §7.6).
@@ -119,18 +131,23 @@ def connected_components(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
+        .localCheckpoint(eager=True)  # materialize: reused every round
     )
-    # parent pointers: node → min(neighbor ∪ self)
+    # parent pointers: node → min(neighbor ∪ self); every node starts dirty
     parent = (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("p"))
         .select(F.col("u").alias("node"), F.least(F.col("p"), F.col("node")).alias("comp"))
     ).localCheckpoint(eager=True)
+    changed = parent
 
-    for it in range(max_iter):
-        # propagate: comp(node) = min(comp(node), min over neighbors comp(nb))
+    for _ in range(max_iter):
+        # propagate newly-lowered labels to neighbors (delta frontier only)
         nb = (
-            sym.join(parent.withColumnRenamed("node", "v").withColumnRenamed("comp", "vcomp"), "v")
+            sym.join(
+                changed.select(F.col("node").alias("v"), F.col("comp").alias("vcomp")),
+                "v",
+            )
             .groupBy("u")
             .agg(F.min("vcomp").alias("nbcomp"))
             .withColumnRenamed("u", "node")
@@ -158,19 +175,14 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # convergence probe only every other round: a round of the probe
-        # join costs about as much as a propagation round, so probing each
-        # round nearly doubles wall time; diameter halves per round anyway.
-        converged = False
-        if it % 2 == 1 or it == max_iter - 1:
-            converged = (
-                jumped.alias("n")
-                .join(parent.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .isEmpty()
-            )
+        changed = (
+            jumped.join(parent.select("node", F.col("comp").alias("_old")), "node")
+            .filter(F.col("comp") != F.col("_old"))
+            .select("node", "comp")
+            .localCheckpoint(eager=True)
+        )
         parent = jumped
-        if converged:
+        if changed.isEmpty():
             break
     return parent.select(F.col("node"), F.col("comp").alias("component"))
 

@@ -136,20 +136,26 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF-lite: centroids = deterministic sample of n_cells vectors (every
-    len/n-th by id order — reproducible without kmeans iterations); assign
-    base vectors to nearest centroid (one broadcast join), probe the
-    ``n_probe`` nearest cells per query."""
+    """IVF-lite: centroids = deterministic hash-sample of n_cells vectors;
+    assign base vectors to nearest centroid (one broadcast join), probe the
+    ``n_probe`` nearest cells per query.
+
+    Centroid selection is a TakeOrdered over a hash of the id (orderBy +
+    limit = per-partition top-n + driver merge, O(n_cells) memory) — NOT a
+    global row_number window, which would sort the full table in one task
+    (the round-1 scale-killer), and no count() action. Deterministic:
+    xxhash64 of the id is stable across runs."""
     ids = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    w0 = Window.orderBy("cid")
-    total = emb.count()
-    step = max(total // n_cells, 1)
-    centroids = (
-        ids.withColumn("_rn", F.row_number().over(w0))
-        .filter((F.col("_rn") - 1) % step == 0)
+    sampled = (
+        ids.withColumn("_h", F.xxhash64(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
         .limit(n_cells)
-        .withColumn("cell", F.row_number().over(Window.orderBy("cid")) - 1)
-        .select("cell", "cvec")
+    )
+    # window over n_cells rows only (post-limit) — bounded, not full-table
+    centroids = (
+        sampled.withColumn(
+            "cell", F.row_number().over(Window.orderBy("_h", "cid")) - 1
+        ).select("cell", "cvec")
     )
     # assign base vectors to nearest centroid
     assigned = (

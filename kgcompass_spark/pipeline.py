@@ -146,8 +146,15 @@ def build_kg(
     cutoff: datetime | None = None,
     include_reverse: bool = False,
     persist: bool = False,
+    commits: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns the stage DataFrames (lazy).
+
+    ``commits`` (commit_id, message, committed_ts, changed_files,
+    changed_spans) and ``docs`` (doc_path, text) are optional context
+    artifacts; when supplied, the commit / repair-experience / documentation
+    link stages run too (operators/context.py) — all 17 predicate pairs.
 
     ``persist=True`` caches the prepared-pages stage: the five link
     resolvers all re-derive it otherwise, so the HTML→text Arrow UDF and the
@@ -171,6 +178,19 @@ def build_kg(
             "subj", "predicate", "obj", "weight", "src_url"
         )
     )
+    if commits is not None or docs is not None:
+        from .operators.context import context_triples
+
+        issues = prepared.select("url", "warc_ts", "clean_text")
+        ctx = context_triples(issues, entities, commits=commits, docs=docs)
+        # MERGE semantics across sources: keep the strongest (min) weight
+        # per (subj, predicate, obj) — a doc-derived ×1.5 link must not
+        # override a direct STRONG link
+        triples = (
+            triples.unionByName(ctx)
+            .groupBy("subj", "predicate", "obj")
+            .agg(F.min("weight").alias("weight"), F.min("src_url").alias("src_url"))
+        )
     if include_reverse:
         triples = with_reverse_edges(triples)
     return {

@@ -85,6 +85,12 @@ def _mk_entities() -> list[dict]:
                 add("method", mq, m, f"{m}(self, value)", path, s, s + 15, [m, f"{cls}.{m}"])
             gv = _GLOBALS[(pi + fi) % len(_GLOBALS)]
             add("global_var", f"{module}.{gv}", gv, f"{gv} = 8", path, 3, 3, [gv])
+            # module-level function (no class segment): its container is the
+            # FILE — exercises the 'contains method in file' predicate
+            if (pi + fi) % 2 == 0:
+                fn = "load_defaults"
+                s2 = line + 120
+                add("method", f"{module}.{fn}", fn, f"{fn}(cfg)", path, s2, s2 + 8, [fn])
     return ents
 
 
@@ -112,11 +118,18 @@ def _structural_triples(entities: list[dict]) -> list[dict]:
                      obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
             )
         elif e["kind"] == "method":
-            cls_q = e["name"].rsplit(".", 1)[0]
-            out.append(
-                dict(subj=f"class:{cls_q}@{e['file_path']}", predicate="contains method",
-                     obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
-            )
+            parent = e["name"].rsplit(".", 1)[0]
+            f = by_path[e["file_path"]]
+            if parent == f["name"]:  # top-level function → file container
+                out.append(
+                    dict(subj=f["entity_id"], predicate="contains method in file",
+                         obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+                )
+            else:
+                out.append(
+                    dict(subj=f"class:{parent}@{e['file_path']}", predicate="contains method",
+                         obj=e["entity_id"], weight=STRONG_CONNECTION, src_url="")
+                )
     return out
 
 
@@ -292,6 +305,285 @@ def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
                  warc_ts=EPOCH, html=b"\xff\xfe\x00bad", text=None, lang="en")
         )
     return corpus
+
+
+# ---------------------------------------------------------------------------
+# Context artifacts (commits + docs) and their analytic goldens
+# ---------------------------------------------------------------------------
+
+import hashlib
+import re as _re
+
+from ..config import (
+    BOILERPLATE_DOC_NAMES,
+    COMMIT_CONTEXT_LIMIT,
+    COMMIT_CONTEXT_MAX_FILES,
+    COMMIT_LINK_FILES_CAP,
+    CONTEXT_STOPWORDS,
+    DOC_CONTEXT_LIMIT,
+    DOC_CONTEXT_MULTIPLIER,
+    MAINTENANCE_COMMIT_REGEX,
+    REPAIR_EXPERIENCE_LIMIT,
+    REPAIR_EXPERIENCE_MAX_FILES,
+    REPAIR_EXPERIENCE_MIN_SCORE,
+    REPAIR_EXPERIENCE_REGEX,
+)
+
+_MAINT_RE = _re.compile(MAINTENANCE_COMMIT_REGEX.replace("(?i)", ""), _re.IGNORECASE)
+_REPAIR_RE = _re.compile(REPAIR_EXPERIENCE_REGEX.replace("(?i)", ""), _re.IGNORECASE)
+_CTX_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]{2,}")
+_CTX_VERSION_RE = _re.compile(r"\bv?\d+(?:\.\d+){1,4}\b", _re.IGNORECASE)
+_BACKTICK_RE = _re.compile(r"`([^`\n]{2,120})`")
+_DOTTED_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+$")
+
+_COMMIT_VERBS = ["Refactor", "Extend", "Optimize"]
+
+
+def _context_tokens_py(text: str) -> set[str]:
+    """Python mirror of operators.context.context_tokens — the analytic
+    oracle for the Spark scoring (same whole-token restatement of
+    fl.py:232-251; see the deviation note in operators/context.py)."""
+    toks = {
+        t.lower()
+        for t in _CTX_IDENT_RE.findall(text or "")
+        if t.lower() not in CONTEXT_STOPWORDS
+    }
+    toks |= {t.lower() for t in _CTX_VERSION_RE.findall(text or "")}
+    return toks
+
+
+def _mk_commits(n_commits: int = 48) -> list[dict]:
+    """Deterministic commit history over the inventory: per k —
+    maintenance (k%4==3, excluded by both stages), repair (k%4==1,
+    feeds the experience stage), feature (otherwise, commit stage only)."""
+    inv = _inventory()
+    out = []
+    for k in range(n_commits):
+        f = inv.files[(k * 7) % len(inv.files)]
+        path = f["file_path"]
+        ms = [m for m in inv.methods if m["file_path"] == path]
+        m = ms[k % len(ms)]
+        cls = next(c for c in inv.classes if c["file_path"] == path)
+        ts = EPOCH + timedelta(days=(k * 6) % 330, hours=(k * 5) % 24)
+        sha = hashlib.sha1(f"commit-{k}".encode()).hexdigest()
+        kind = k % 4
+        if kind == 3:
+            msg = f"Bump changelog and formatting cleanup pass {k}"
+            spans = []
+        elif kind == 1:
+            msg = (
+                f"Fix crash in {path} when {m['short_name']} runs\n\n"
+                f"Resolves a failure in {m['name']} under load."
+            )
+            spans = [dict(file_path=path, start_line=m["start_line"],
+                          end_line=m["start_line"] + 3)]
+        else:
+            msg = (
+                f"{_COMMIT_VERBS[k % 3]} {path} internals around {cls['short_name']}\n\n"
+                f"Touches {m['name']} handling paths."
+            )
+            spans = [dict(file_path=path, start_line=m["start_line"] + 1,
+                          end_line=m["start_line"] + 4)]
+        out.append(
+            dict(commit_id=sha, message=msg, committed_ts=ts,
+                 changed_files=[path], changed_spans=spans)
+        )
+    return out
+
+
+def _mk_docs() -> list[dict]:
+    """One guide doc per file, symbols in backticks, plus a boilerplate doc
+    that must never be selected (fl.py:2097-2112 exclusion)."""
+    inv = _inventory()
+    out = []
+    for f in inv.files:
+        path = f["file_path"]
+        fstem = path.rsplit("/", 1)[1][:-3]
+        cls = next(c for c in inv.classes if c["file_path"] == path)
+        m = next(mm for mm in inv.methods if mm["file_path"] == path)
+        rel = "docs/" + f["name"].replace(".", "_") + "_guide.md"
+        text = (
+            f"# {fstem} guide\n\n"
+            f"Use `{cls['name']}` together with `{m['name']}` when processing input.\n"
+            f"The implementation lives in {path} near the top of the module.\n"
+        )
+        out.append(dict(doc_path=rel, text=text))
+    out.append(
+        dict(doc_path="docs/contributing.md",
+             text="Use `alphacore.parser.Parser` everywhere.\n"
+                  "alphacore engine parser webstack crash failure handlers.")
+    )
+    return out
+
+
+def _commit_score_text(c: dict) -> str:
+    return c["message"] + "\n" + "\n".join(c["changed_files"])
+
+
+def _doc_symbols_py(text: str) -> list[str]:
+    syms, seen = [], set()
+    for raw in _BACKTICK_RE.findall(text or ""):
+        s = raw.strip().lstrip("~")
+        s = _re.sub(r"\(\)$", "", s)
+        if len(s) <= 100 and _DOTTED_RE.match(s) and s not in seen:
+            seen.add(s)
+            syms.append(s)
+    return syms
+
+
+def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
+                    seed: int = 42) -> list[dict]:
+    """Analytic goldens for the context stages: an independent pure-Python
+    replication of the selection semantics (fl.py:2317-2560) over the same
+    deterministic corpus — the oracle the Spark operators must match."""
+    inv = _inventory()
+    ents_by_name = {e["name"]: e for e in inv.entities}
+    goldens: list[dict] = []
+    selected_commits: set[str] = set()
+    selected_repairs: set[str] = set()
+
+    commit_meta = {}
+    for c in commits:
+        first = c["message"].split("\n")[0]
+        first3 = "\n".join(c["message"].split("\n")[:3])
+        commit_meta[c["commit_id"]] = dict(
+            toks=_context_tokens_py(_commit_score_text(c)),
+            maintenance=bool(_MAINT_RE.search(first)),
+            repair=bool(_REPAIR_RE.search(first3)),
+            ts=c["committed_ts"],
+            files=c["changed_files"],
+        )
+    doc_meta = []
+    for d in docs:
+        base = d["doc_path"].rsplit("/", 1)[-1].lower()
+        stem = _re.sub(r"\.[^.]*$", "", base)
+        if stem in BOILERPLATE_DOC_NAMES or not _re.search(r"\.(md|rst|txt)$", base):
+            continue
+        doc_meta.append(dict(
+            path=d["doc_path"],
+            toks=_context_tokens_py(d["doc_path"] + "\n" + d["text"]),
+            symbols=_doc_symbols_py(d["text"]),
+        ))
+
+    for i in range(n_pages):
+        if _is_late(i) or i % 53 == 52:
+            continue
+        page, _, extracted = _make_page(i, seed)
+        url, ts = page["url"], page["warc_ts"]
+        toks = _context_tokens_py(extracted)
+
+        # commit context (fl.py:2412-2500)
+        cands = []
+        for c in commits:
+            m = commit_meta[c["commit_id"]]
+            if m["ts"] > ts or m["maintenance"]:
+                continue
+            if not (0 < len(m["files"]) <= COMMIT_CONTEXT_MAX_FILES):
+                continue
+            s = len(toks & m["toks"])
+            if s > 0:
+                cands.append((-s, m["ts"], c["commit_id"]))
+        cands.sort(key=lambda x: (x[0], -x[1].timestamp(), x[2]))
+        for _, _, cid in cands[:COMMIT_CONTEXT_LIMIT]:
+            goldens.append(dict(subj=f"issue:{url}", predicate="points to commit",
+                                obj=f"commit:{cid}", weight=NORMAL_CONNECTION,
+                                src_url=url))
+            selected_commits.add(cid)
+
+        # repair experience (fl.py:2317-2410)
+        rcands = []
+        for c in commits:
+            m = commit_meta[c["commit_id"]]
+            if m["ts"] > ts or m["maintenance"] or not m["repair"]:
+                continue
+            if not (0 < len(m["files"]) <= REPAIR_EXPERIENCE_MAX_FILES):
+                continue
+            s = len(toks & m["toks"])
+            if s >= REPAIR_EXPERIENCE_MIN_SCORE:
+                rcands.append((-s, m["ts"], c["commit_id"]))
+        rcands.sort(key=lambda x: (x[0], -x[1].timestamp(), x[2]))
+        for _, _, cid in rcands[:REPAIR_EXPERIENCE_LIMIT]:
+            goldens.append(dict(subj=f"issue:{url}",
+                                predicate="points to repair experience",
+                                obj=f"repair:{cid}", weight=STRONG_CONNECTION,
+                                src_url=url))
+            selected_repairs.add(cid)
+
+        # documentation context (fl.py:2086-2145 + 2240-2316)
+        dcands = []
+        for dm in doc_meta:
+            s = len(toks & dm["toks"])
+            if s > 0:
+                dcands.append((-s, dm["path"], dm))
+        dcands.sort(key=lambda x: (x[0], x[1]))
+        for _, _, dm in dcands[:DOC_CONTEXT_LIMIT]:
+            doc_hash = hashlib.sha1(dm["path"].encode()).hexdigest()[:12]
+            doc_id = f"doc:{url}:{doc_hash}"
+            goldens.append(dict(subj=f"issue:{url}",
+                                predicate="points to documentation",
+                                obj=doc_id, weight=NORMAL_CONNECTION, src_url=url))
+            for sym in dm["symbols"]:
+                e = ents_by_name.get(sym)
+                if e is None:
+                    continue
+                goldens.append(dict(subj=doc_id,
+                                    predicate="mentions file by documentation",
+                                    obj=f"file:{e['file_path']}",
+                                    weight=NORMAL_CONNECTION, src_url=""))
+                if e["kind"] in ("method", "class", "global_var"):
+                    pred = ("points to class" if e["kind"] == "class"
+                            else "points to method")
+                    goldens.append(dict(
+                        subj=f"issue:{url}", predicate=pred, obj=e["entity_id"],
+                        weight=NORMAL_CONNECTION * DOC_CONTEXT_MULTIPLIER,
+                        src_url=url))
+
+    # commit → file (per selected commit, fl.py:2488-2500)
+    for cid in sorted(selected_commits):
+        for fp in commit_meta[cid]["files"][:COMMIT_LINK_FILES_CAP]:
+            goldens.append(dict(subj=f"commit:{cid}", predicate="modified file",
+                                obj=f"file:{fp}", weight=NORMAL_CONNECTION,
+                                src_url=""))
+    # experience → file (fl.py:2397-2410)
+    for cid in sorted(selected_repairs):
+        for fp in commit_meta[cid]["files"]:
+            goldens.append(dict(subj=f"repair:{cid}", predicate="mentions file",
+                                obj=f"file:{fp}", weight=NORMAL_CONNECTION,
+                                src_url=""))
+    # method ↔ commit span overlaps (knowledge_graph.py:860-877) — all commits
+    for c in commits:
+        for sp in c["changed_spans"]:
+            for m in inv.methods:
+                if (m["file_path"] == sp["file_path"]
+                        and m["start_line"] <= sp["end_line"]
+                        and m["end_line"] >= sp["start_line"]):
+                    goldens.append(dict(subj=m["entity_id"],
+                                        predicate="modified by commit",
+                                        obj=f"commit:{c['commit_id']}",
+                                        weight=WEAK_CONNECTION, src_url=""))
+    return goldens
+
+
+COMMITS_SCHEMA = (
+    "commit_id string, message string, committed_ts timestamp, "
+    "changed_files array<string>, "
+    "changed_spans array<struct<file_path:string,start_line:int,end_line:int>>"
+)
+DOCS_SCHEMA = "doc_path string, text string"
+
+
+def context_corpus_dataframes(spark, n_pages: int = 200, seed: int = 42,
+                              n_commits: int = 48):
+    """(commits, docs, context_goldens) DataFrames matching the page corpus
+    of the same (n_pages, seed)."""
+    commits = _mk_commits(n_commits)
+    docs = _mk_docs()
+    goldens = context_goldens(n_pages, commits, docs, seed)
+    return (
+        spark.createDataFrame(commits, schema=COMMITS_SCHEMA),
+        spark.createDataFrame(docs, schema=DOCS_SCHEMA),
+        spark.createDataFrame(goldens, schema=TRIPLES_SCHEMA),
+    )
 
 
 # ---------------------------------------------------------------------------

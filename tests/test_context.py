@@ -1,0 +1,121 @@
+"""Context stages (commit / repair-experience / documentation) vs analytic
+goldens — extends the P/R gate to all 17 predicate pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgcompass_spark.config import PREDICATE_INVERSE
+from kgcompass_spark.pipeline import build_kg
+from kgcompass_spark.sources.datagen import (
+    CUTOFF,
+    context_corpus_dataframes,
+    corpus_dataframes,
+)
+
+
+@pytest.fixture(scope="module")
+def full_corpus(spark):
+    pages, entities, goldens, _ = corpus_dataframes(spark, n_pages=200)
+    commits, docs, ctx_goldens = context_corpus_dataframes(spark, n_pages=200)
+    return pages, entities, goldens, commits, docs, ctx_goldens
+
+
+@pytest.fixture(scope="module")
+def full_out(spark, full_corpus):
+    pages, entities, _, commits, docs, _ = full_corpus
+    return build_kg(pages, entities, cutoff=CUTOFF, commits=commits, docs=docs)
+
+
+def test_full_pipeline_precision_recall(spark, full_corpus, full_out):
+    _, _, goldens, _, _, ctx_goldens = full_corpus
+    got = {
+        (r.subj, r.predicate, r.obj)
+        for r in full_out["triples"].dropDuplicates(["subj", "predicate", "obj"]).collect()
+    }
+    want = {
+        (r.subj, r.predicate, r.obj)
+        for r in goldens.unionByName(ctx_goldens)
+        .dropDuplicates(["subj", "predicate", "obj"])
+        .collect()
+    }
+    tp = len(got & want)
+    p, r = tp / len(got), tp / len(want)
+    assert p >= 0.95, f"precision {p:.3f}; spurious: {sorted(got - want)[:10]}"
+    assert r >= 0.95, f"recall {r:.3f}; missing: {sorted(want - got)[:10]}"
+
+
+def test_all_17_predicate_pairs_emitted(spark, full_corpus):
+    """Every forward predicate in PREDICATE_INVERSE appears in the full KG,
+    and with include_reverse every reverse appears too."""
+    pages, entities, _, commits, docs, _ = full_corpus
+    out = build_kg(
+        pages, entities, cutoff=CUTOFF, commits=commits, docs=docs,
+        include_reverse=True,
+    )
+    preds = {r.predicate for r in out["triples"].select("predicate").distinct().collect()}
+    # 'calls method' (J9) comes from the source-parsing pipeline
+    # (build_kg_from_sources, test_call_graph) — not from page linking
+    call_graph = {"calls method", "called by method"}
+    missing_fwd = set(PREDICATE_INVERSE) - preds - call_graph
+    missing_rev = set(PREDICATE_INVERSE.values()) - preds - call_graph
+    assert not missing_fwd, f"forward predicates never emitted: {missing_fwd}"
+    assert not missing_rev, f"reverse predicates never emitted: {missing_rev}"
+
+
+def test_maintenance_commits_never_linked(spark, full_corpus, full_out):
+    """Commits with maintenance first lines (bump/changelog/format...) are
+    excluded from both the commit and experience stages (fl.py:360-365)."""
+    _, _, _, commits, _, _ = full_corpus
+    from kgcompass_spark.config import MAINTENANCE_COMMIT_REGEX
+
+    maint = {
+        "commit:" + r.commit_id
+        for r in commits.filter(
+            F.element_at(F.split("message", "\n"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
+        ).collect()
+    }
+    assert maint, "fixture should contain maintenance commits"
+    linked = full_out["triples"].filter(
+        F.col("predicate").isin("points to commit", "points to repair experience")
+        & F.col("obj").isin(*[m.replace("commit:", "repair:") for m in maint] + list(maint))
+    )
+    assert linked.count() == 0
+
+
+def test_boilerplate_docs_never_selected(spark, full_corpus, full_out):
+    import hashlib
+
+    h = hashlib.sha1(b"docs/contributing.md").hexdigest()[:12]
+    hits = full_out["triples"].filter(F.col("obj").endswith(":" + h)).count()
+    assert hits == 0
+
+
+def test_commit_leakage_guard(spark, full_corpus, full_out):
+    """No issue links to a commit whose committed_ts is after the issue's
+    crawl ts (fl.py:2449 until=created_at)."""
+    pages, _, _, commits, _, _ = full_corpus
+    links = full_out["triples"].filter(F.col("predicate") == "points to commit").select(
+        F.regexp_replace("subj", "^issue:", "").alias("url"),
+        F.regexp_replace("obj", "^commit:", "").alias("commit_id"),
+    )
+    leaked = (
+        links.join(pages.select("url", "warc_ts"), "url")
+        .join(commits.select("commit_id", "committed_ts"), "commit_id")
+        .filter(F.col("committed_ts") > F.col("warc_ts"))
+    )
+    assert leaked.count() == 0
+
+
+def test_doc_multiplier_weight(spark, full_corpus, full_out):
+    """Doc-derived issue→method links carry NORMAL × 1.5 = 0.75 unless a
+    stronger direct link exists (min-merge)."""
+    weights = {
+        r.weight
+        for r in full_out["triples"]
+        .filter(F.col("predicate") == "points to method")
+        .select("weight")
+        .distinct()
+        .collect()
+    }
+    assert 0.75 in weights, f"doc-context multiplier weight missing: {weights}"
+    assert max(weights) <= 0.75
