@@ -157,9 +157,11 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nbcomp"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("_old"),  # carried: delta = comp != _old
             )
         )
-        # pointer jumping: comp ← comp(comp)
+        # pointer jumping: comp ← comp(comp); ONE checkpoint per round —
+        # the old label rides along so the delta is a filter, not a join
         jumped = (
             new_parent.alias("a")
             .join(
@@ -172,16 +174,12 @@ def connected_components(
             .select(
                 F.col("node"),
                 F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(parent.select("node", F.col("comp").alias("_old")), "node")
-            .filter(F.col("comp") != F.col("_old"))
-            .select("node", "comp")
-            .localCheckpoint(eager=True)
-        )
-        parent = jumped
+        changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
+        parent = jumped.select("node", "comp")
         if changed.isEmpty():
             break
     return parent.select(F.col("node"), F.col("comp").alias("component"))
