@@ -446,6 +446,75 @@ def _kg_pipeline_triples(spark, sf_dir):
     )
 
 
+def _a8_eval_summary(spark, sf_dir):
+    """§3.3 eval harness (calc_prefl semantics) — oracle-checked on a
+    synthetic prediction/ground-truth shape over orders+lineitem:
+    instances = every 32nd order; predictions = its lineitems ranked by
+    price; gt entities = its 'R'-returnflag parts; gt files = line-1 part."""
+    from kgcompass_spark.plans.eval import prefl_per_instance, prefl_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    insts = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 32 == 0).select(
+        F.col("o_orderkey").alias("instance_id")
+    )
+    base = li.join(insts, li["l_orderkey"] == insts["instance_id"])
+    preds = base.select(
+        "instance_id",
+        F.col("l_partkey").cast("string").alias("signature"),
+        F.concat(F.lit("f/"), F.col("l_partkey").cast("string")).alias("file_path"),
+        F.row_number()
+        .over(
+            Window.partitionBy("instance_id").orderBy(
+                F.desc("l_extendedprice"), F.asc("l_linenumber")
+            )
+        )
+        .alias("rank"),
+    )
+    gt_entities = (
+        base.filter(F.col("l_returnflag") == "R")
+        .select("instance_id", F.col("l_partkey").cast("string").alias("signature"))
+        .distinct()
+    )
+    gt_files = base.filter(F.col("l_linenumber") == 1).select(
+        "instance_id",
+        F.concat(F.lit("f/"), F.col("l_partkey").cast("string")).alias("patch_file"),
+    )
+    return prefl_summary(prefl_per_instance(preds, gt_entities, gt_files))
+
+
+def _ranked_related(spark, sf_dir):
+    """The reference's MAIN ranked output (knowledge_graph.py:988-1399):
+    similarity-ranked related entities for one root issue over the full KG
+    incl. context stages — BFS cost × embedding cosine × Levenshtein ×
+    identifier/evidence boosts → per-type truncation. Rows-only (Arrow
+    encoder UDF + iterative SSSP are not DuckDB-expressible)."""
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.plans.related import ranked_related_entities
+    from kgcompass_spark.sources.datagen import (
+        CUTOFF,
+        _make_page,
+        _page_url,
+        context_corpus_dataframes,
+        corpus_dataframes,
+    )
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=120)
+    commits, docs, _ = context_corpus_dataframes(spark, n_pages=120)
+    out = build_kg(pages, entities, cutoff=CUTOFF, commits=commits, docs=docs)
+    root_url = _page_url(6)
+    root_text = _make_page(6)[2]
+    issue_texts = out["prepared"].select("url", F.col("clean_text").alias("text"))
+    rr = ranked_related_entities(
+        out["triples"], entities, root_url, root_text,
+        issue_texts=issue_texts, max_cost=2.0,
+        identifier_boost_weight=0.2, evidence_path_boost_weight=0.1,
+    )
+    return rr.select(
+        "node", "entity_type", F.round("similarity", 4).alias("similarity"),
+        F.round("distance", 4).alias("distance"), "hops", "type_rank",
+    )
+
+
 def _kg_full_predicates(spark, sf_dir):
     """Full pipeline incl. commit / repair-experience / documentation
     context stages — per-predicate counts; all 17 forward predicate pairs
@@ -528,7 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_order_dedup_union": _u1_order_dedup_union,
         "g8_connected_components": _g8_connected_components,
         "g2_bfs_hops": _g2_bfs_hops,
+        "a8_eval_summary": _a8_eval_summary,
         # rows-only
+        "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_docs": _simhash_docs,
         "fingerprint_docs": _fingerprint_docs,
@@ -701,6 +772,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
             FROM orders
+        """,
+        "a8_eval_summary": """
+            WITH insts AS (SELECT o_orderkey AS instance_id FROM orders WHERE o_orderkey % 32 = 0),
+            base AS (SELECT i.instance_id, l.* FROM lineitem l JOIN insts i ON l.l_orderkey = i.instance_id),
+            preds AS (SELECT instance_id, CAST(l_partkey AS VARCHAR) AS signature,
+                             'f/' || CAST(l_partkey AS VARCHAR) AS file_path,
+                             row_number() OVER (PARTITION BY instance_id
+                                                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+                      FROM base),
+            gt_e AS (SELECT DISTINCT instance_id, CAST(l_partkey AS VARCHAR) AS signature
+                     FROM base WHERE l_returnflag = 'R'),
+            gt_f AS (SELECT instance_id, 'f/' || CAST(l_partkey AS VARCHAR) AS patch_file
+                     FROM base WHERE l_linenumber = 1),
+            top AS (SELECT * FROM preds WHERE rnk <= 20),
+            matched AS (SELECT t.instance_id, count(DISTINCT t.signature) AS n_matched,
+                               min(t.rnk) AS first_rank
+                        FROM top t JOIN gt_e g
+                          ON t.instance_id = g.instance_id AND t.signature = g.signature
+                        GROUP BY t.instance_id),
+            fh AS (SELECT DISTINCT t.instance_id, 1 AS find_file
+                   FROM top t JOIN gt_f f ON t.instance_id = f.instance_id
+                   WHERE t.file_path LIKE '%' || f.patch_file || '%'),
+            gtn AS (SELECT instance_id, count(DISTINCT signature) AS n_gt FROM gt_e GROUP BY instance_id),
+            per AS (SELECT gtn.instance_id, n_gt,
+                           coalesce(n_matched, 0) AS n_matched,
+                           coalesce(n_matched, 0)::DOUBLE / greatest(n_gt, 1) AS found_ratio,
+                           CASE WHEN coalesce(n_matched, 0) > 0 THEN 1 ELSE 0 END AS morethanone,
+                           coalesce(find_file, 0) AS find_file,
+                           first_rank
+                    FROM gtn LEFT JOIN matched ON gtn.instance_id = matched.instance_id
+                             LEFT JOIN fh ON gtn.instance_id = fh.instance_id)
+            SELECT CAST(count(*) AS BIGINT) AS tot,
+                   CAST(sum(find_file) AS BIGINT) AS tot_find_file,
+                   round(avg(find_file), 4) AS file_hit_rate,
+                   round(sum(found_ratio), 4) AS tot_find_method_or_class,
+                   round(avg(found_ratio), 4) AS method_or_class_rate,
+                   CAST(sum(morethanone) AS BIGINT) AS morethanone,
+                   round(avg(CASE WHEN first_rank IS NOT NULL THEN 1.0 / first_rank ELSE 0.0 END), 4) AS mrr
+            FROM per
         """,
         "g2_bfs_hops": """
             WITH RECURSIVE bfs(node, hops) AS (

@@ -78,6 +78,30 @@ def main() -> None:
         kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
     timings["kg_pipeline"] = round(kg_sec, 3)
 
+    # --- full pipeline incl. commit/experience/documentation context -------
+    from kgcompass_spark.sources.datagen import _mk_commits, _mk_docs
+    from kgcompass_spark.sources.datagen import COMMITS_SCHEMA, DOCS_SCHEMA
+
+    commits_df = spark.createDataFrame(_mk_commits(48), schema=COMMITS_SCHEMA)
+    docs_df = spark.createDataFrame(_mk_docs(), schema=DOCS_SCHEMA)
+
+    def kg_full_run():
+        out = build_kg(pages, entities, cutoff=None, persist=True,
+                       commits=commits_df, docs=docs_df)
+        out["triples"].count()
+        out["prepared"].unpersist()
+        out["mentions"].unpersist()
+
+    kg_full_run()  # warm-up
+    full_sec = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        kg_full_run()
+        dt = time.perf_counter() - t0
+        full_sec = dt if full_sec is None or dt < full_sec else full_sec
+    timings["kg_full_pipeline"] = round(full_sec, 3)
+
     # --- operator benches over driver testdata ----------------------------
     qs = entrymod.queries()
     bench_queries = [
@@ -92,6 +116,7 @@ def main() -> None:
         "simhash_docs",
         "g8_connected_components",
         "g2_bfs_hops",
+        "a8_eval_summary",
     ]
     for name in bench_queries:
         fn = qs[name]

@@ -14,12 +14,11 @@ from __future__ import annotations
 # ---------------------------------------------------------------------------
 # Caps & search limits (reference config.py:21-24)
 # ---------------------------------------------------------------------------
-MAX_CANDIDATE_METHODS = 500
-MAX_SEARCH_DEPTH = 2
+MAX_CANDIDATE_METHODS = 500   # J9 call-scan seed cap (fl.py:1872)
+MAX_SEARCH_DEPTH = 2          # J8 issue-ref recursion depth (fl.py:2024)
 SEARCH_SPACE = 50
 NAME_SEARCH_CAP = 20          # fl.py:1692-1696
 FUZZY_FILE_TOP_K = 3          # knowledge_graph.py:735
-DOC_CANDIDATE_LIMIT = 8       # fl.py:2127-2128
 SIMILARITY_CANDIDATE_CAP = 10_000  # knowledge_graph.py:1177
 
 # ---------------------------------------------------------------------------
@@ -44,7 +43,7 @@ COMMIT_LINK_FILES_CAP = 30         # modified-file edges emitted per commit
 REPAIR_EXPERIENCE_LIMIT = 12
 REPAIR_EXPERIENCE_MIN_SCORE = 3
 REPAIR_EXPERIENCE_MAX_FILES = 20
-DOC_CONTEXT_LIMIT = 8              # == DOC_CANDIDATE_LIMIT (fl.py:2091)
+DOC_CONTEXT_LIMIT = 8              # doc candidates per issue (fl.py:2091, 2127-2128)
 
 # Context-token stop set (fl.py:232-246 _context_tokens)
 CONTEXT_STOPWORDS = frozenset({

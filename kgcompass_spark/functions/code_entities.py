@@ -268,7 +268,12 @@ def extract_call_sites(files: DataFrame, path_col: str = "file_path", src_col: s
     return files.mapInPandas(run, schema=CALL_ROW_SCHEMA)
 
 
-def call_graph_edges(call_sites: DataFrame, entities: DataFrame) -> DataFrame:
+def call_graph_edges(
+    call_sites: DataFrame,
+    entities: DataFrame,
+    seed_methods: DataFrame | None = None,
+    max_seed: int | None = None,
+) -> DataFrame:
     """J9 resolution: candidate names → method inventory → Method↔Method
     ``calls method`` triples.
 
@@ -277,10 +282,17 @@ def call_graph_edges(call_sites: DataFrame, entities: DataFrame) -> DataFrame:
     (language_factory.py:108-127 prefix/suffix matching). Deterministic
     winner per (caller, callee_short) = min entity_id; caller must itself
     resolve to an inventory method.
+
+    ``seed_methods`` (entity_id) restricts expansion to edges touching the
+    first ``max_seed`` (default MAX_CANDIDATE_METHODS=500) seed methods —
+    the reference's ``get_all_methods(MAX_CANDIDATE_METHODS)`` cap on the
+    call-scan seed list (fl.py:1872, config.py:22). None = unrestricted.
     """
     from pyspark.sql import functions as F
 
-    from ..config import NORMAL_CONNECTION
+    from ..config import MAX_CANDIDATE_METHODS, NORMAL_CONNECTION
+
+    max_seed = MAX_CANDIDATE_METHODS if max_seed is None else max_seed
 
     methods = entities.filter(entities["kind"] == "method").select(
         F.col("entity_id").alias("callee_id"),
@@ -299,7 +311,7 @@ def call_graph_edges(call_sites: DataFrame, entities: DataFrame) -> DataFrame:
         exact.groupBy("caller_name", "caller_path", "callee_short")
         .agg(F.min("callee_id").alias("callee_id"))
     )
-    return (
+    out = (
         resolved.join(
             F.broadcast(callers),
             (F.col("caller_name") == F.col("_caller_name"))
@@ -315,6 +327,19 @@ def call_graph_edges(call_sites: DataFrame, entities: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["subj", "obj"])
     )
+    if seed_methods is not None:
+        # deterministic seed cap; two hash semi-joins (an OR-condition semi
+        # join would fall back to a nested-loop join)
+        seeds = (
+            seed_methods.select(F.col("entity_id").alias("seed_id"))
+            .distinct()
+            .orderBy("seed_id")
+            .limit(max_seed)
+        )
+        by_subj = out.join(F.broadcast(seeds), out["subj"] == seeds["seed_id"], "left_semi")
+        by_obj = out.join(F.broadcast(seeds), out["obj"] == seeds["seed_id"], "left_semi")
+        out = by_subj.unionByName(by_obj).dropDuplicates(["subj", "obj"])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,31 +1,59 @@
-"""Text embedding stage (SURVEY.md P12) — batched Arrow UDF.
+"""Text embedding stage (SURVEY.md P12) — batched Arrow UDF, pluggable model.
 
 The reference encodes with a Jina code-embedding model on GPU
-(embedding.py:84-133), truncating input to 4000/8000 chars. No model
-weights ship in this container, so the ENCODER IS A DETERMINISTIC STUB: a
-hashed bag-of-tokens projection into a unit vector. The Spark plumbing —
-truncation, Arrow batching, array<float> column, cosine ranking downstream —
-is the real design; a sentence-transformers/Jina encoder drops in by
-replacing ``_encode_batch`` only (load the model once per worker from
-SparkFiles/executor-local cache, never per batch).
+(embedding.py:84-133), truncating input to 4000/8000 chars. Encoder
+selection is config-gated here and ONLY here — swapping models requires no
+change outside this file:
+
+    KGCOMPASS_SPARK_ENCODER=stub                       (default, no deps)
+    KGCOMPASS_SPARK_ENCODER=jinaai/jina-embeddings-v2-base-code
+    KGCOMPASS_SPARK_ENCODER=<any sentence-transformers model id/path>
+
+A real model loads once per executor process (module-level cache — workers
+are forked per executor, not per batch) via sentence-transformers behind an
+import-try; this container has no model weights, so the default STUB is a
+deterministic hashed bag-of-tokens projection onto a unit vector. The Spark
+plumbing — truncation, Arrow batching, array<float> column, cosine ranking
+downstream — is identical for both.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
-EMBED_DIM = 64
+EMBED_DIM = 64  # stub dim; real models define their own
 MAX_INPUT_CHARS = 4000  # knowledge_graph.py:160 truncation
 
+_ENCODER_ENV = "KGCOMPASS_SPARK_ENCODER"
+_MODEL_CACHE: dict[str, object] = {}
 
-def _encode_batch(texts: list[str]) -> np.ndarray:
-    """STUB ENCODER — deterministic hashed bag-of-tokens projection.
-    REAL MODEL GOES HERE (jina-embeddings-v2-base-code or similar)."""
+
+def _encoder_name() -> str:
+    return os.environ.get(_ENCODER_ENV, "stub")
+
+
+def _load_model(name: str):
+    """Executor-local singleton: one model per python worker process."""
+    if name not in _MODEL_CACHE:
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - container has no model libs
+            raise RuntimeError(
+                f"{_ENCODER_ENV}={name} requires sentence-transformers; "
+                "install it or unset the env var to use the stub encoder"
+            ) from e
+        _MODEL_CACHE[name] = SentenceTransformer(name)
+    return _MODEL_CACHE[name]
+
+
+def _encode_stub(texts: list[str]) -> np.ndarray:
+    """Deterministic hashed bag-of-tokens projection (unit vectors)."""
     out = np.zeros((len(texts), EMBED_DIM), dtype=np.float32)
     for i, t in enumerate(texts):
         for tok in (t or "")[:MAX_INPUT_CHARS].lower().split():
@@ -37,6 +65,25 @@ def _encode_batch(texts: list[str]) -> np.ndarray:
         if norm > 0:
             out[i] /= norm
     return out
+
+
+def _encode_batch(texts: list[str]) -> np.ndarray:
+    name = _encoder_name()
+    if name == "stub":
+        return _encode_stub(texts)
+    model = _load_model(name)
+    vecs = model.encode(
+        [(t or "")[:MAX_INPUT_CHARS] for t in texts],
+        normalize_embeddings=True,
+        show_progress_bar=False,
+    )
+    return np.asarray(vecs, dtype=np.float32)
+
+
+def encode_one(text: str) -> list[float]:
+    """Driver-side single-text encode (e.g. the root issue) — same encoder,
+    result broadcast as a literal array into ranking plans."""
+    return [float(x) for x in _encode_batch([text])[0]]
 
 
 @F.pandas_udf(ArrayType(FloatType()))

@@ -46,7 +46,9 @@ def bounded_sssp(
         F.col("obj").alias("dst"),
         F.col("predicate"),
         F.col("weight").cast("double"),
-    )
+    ).localCheckpoint(eager=True)  # materialize once: every round joins it,
+    # and an unmaterialized edge list re-runs its full upstream lineage
+    # (e.g. the whole KG pipeline) per round
     best = None  # (node, cost, hops, path)
     frontier = (
         e.sparkSession.createDataFrame(

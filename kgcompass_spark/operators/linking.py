@@ -157,6 +157,66 @@ def link_issue_refs(mentions: DataFrame, pages_meta: DataFrame) -> DataFrame:
     )
 
 
+def issue_ref_closure(
+    mentions: DataFrame, pages_meta: DataFrame, depth: int | None = None
+) -> DataFrame:
+    """J8 bounded recursion (fl.py:2024-2085 + _process_issues depth loop,
+    MAX_SEARCH_DEPTH=2 at config.py:23).
+
+    Per ROOT page: the issues transitively reachable through ``#N`` refs in
+    ≤ ``depth`` hops — the per-root discovery set the reference crawls.
+    EVERY hop is leakage-checked against the ROOT's crawl ts (the reference
+    gates each artifact on ``self.created_at``, the root task time — NOT the
+    intermediate issue's time), and a visited anti-join stops cycles.
+    Returns (root_url, url, depth).
+
+    Batch note: ``link_issue_refs`` emits the one-hop EDGES for all pages
+    (that union is the whole-corpus KG); this closure is the per-root
+    reachability view with root-relative leakage — the part depth-2
+    recursion actually adds.
+    """
+    from ..config import MAX_SEARCH_DEPTH
+
+    depth = MAX_SEARCH_DEPTH if depth is None else depth
+    refs = mentions.filter(F.col("mtype").isin("issue", "closes")).select(
+        F.col("url").alias("_src"), F.col("text").alias("_ref")
+    )
+    targets = pages_meta.select(
+        F.col("url").alias("_dst"),
+        F.col("warc_ts").alias("_dst_ts"),
+        F.col("doc_key").alias("_key"),
+    )
+    hop = (
+        refs.join(targets, F.col("_ref") == F.col("_key"))
+        .filter(F.col("_dst") != F.col("_src"))
+        .select("_src", "_dst", "_dst_ts")
+        .distinct()
+    )
+    roots = pages_meta.select(
+        F.col("url").alias("root_url"), F.col("warc_ts").alias("_root_ts")
+    )
+    frontier = (
+        roots.join(hop, F.col("root_url") == F.col("_src"))
+        .filter(F.col("_dst_ts") <= F.col("_root_ts"))  # root-relative guard
+        .select("root_url", "_root_ts", F.col("_dst").alias("url"))
+        .withColumn("depth", F.lit(1))
+    )
+    out = frontier
+    for d in range(2, depth + 1):
+        nxt = (
+            frontier.join(hop, frontier["url"] == hop["_src"])
+            .filter(F.col("_dst_ts") <= F.col("_root_ts"))
+            .select("root_url", "_root_ts", F.col("_dst").alias("url"))
+            .distinct()
+            .join(out.select("root_url", "url"), ["root_url", "url"], "left_anti")
+            .filter(F.col("url") != F.col("root_url"))
+            .withColumn("depth", F.lit(d))
+        )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.select("root_url", "url", "depth")
+
+
 def fuzzy_file_search(
     mentions: DataFrame,
     entities: DataFrame,

@@ -131,7 +131,10 @@ def build_kg_from_sources(
     if persist:
         entities = entities.persist()
     out = build_kg(pages, entities, cutoff, include_reverse=False, persist=persist)
-    calls = call_graph_edges(extract_call_sites(source_files), entities)
+    # J9 call expansion seeded by the methods the link stage actually hit,
+    # capped at MAX_CANDIDATE_METHODS (fl.py:1872 get_all_methods cap)
+    seeds = out["links"].filter(F.col("kind") == "method").select("entity_id")
+    calls = call_graph_edges(extract_call_sites(source_files), entities, seed_methods=seeds)
     triples = out["triples"].unionByName(calls)
     if include_reverse:
         triples = with_reverse_edges(triples)

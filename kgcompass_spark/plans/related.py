@@ -1,0 +1,158 @@
+"""Similarity-ranked retrieval — the reference's MAIN output
+(knowledge_graph.py:988-1399 ``get_all_similarities_to_root``):
+
+    root issue → cost-bounded shortest paths over the weighted KG
+    → target filter (methods, leaf classes, other issues; no test methods)
+    → base similarity   = issue: cos × DECAY^cost
+                          else:  (cos×W + lev×(1−W)) × DECAY^cost
+    → + identifier boost (root text contains name / file basename)
+    → + evidence-path boost (path crosses commit/experience/documentation)
+    → top SIMILARITY_CANDIDATE_CAP, per-type dedup + sort + limit.
+
+Spark restatement: Dijkstra = bounded_sssp (iterative frontier joins, cost
+cap); GDS cosine = JVM zip_with/aggregate over the encoder's array<float>;
+apoc.levenshteinSimilarity = builtin levenshtein; the 10000-candidate cap is
+an orderBy+limit (TakeOrdered — per-partition top-k then driver merge, never
+a global sort). Boost weights default 0 like the reference env defaults
+(knowledge_graph.py:1005-1006).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SIMILARITY_CANDIDATE_CAP, STRONG_CONNECTION
+from ..functions.similarity import (
+    cosine_similarity,
+    issue_score,
+    levenshtein_similarity,
+    mixed_score,
+)
+from ..operators.graph import bounded_sssp
+from ..operators.ranking import node_type_from_id
+from ..operators.triples import with_reverse_edges
+
+
+def ranked_related_entities(
+    triples: DataFrame,
+    entities: DataFrame,
+    root_url: str,
+    root_text: str,
+    issue_texts: DataFrame | None = None,
+    max_cost: float = 2.0,
+    limit: int = 500,
+    identifier_boost_weight: float = 0.0,
+    evidence_path_boost_weight: float = 0.0,
+) -> DataFrame:
+    """Returns (node, entity_type, similarity, distance, hops, type_rank),
+    deterministic. ``issue_texts``: (url, text) for issue-node similarity
+    (the reference embeds title+content; entity nodes use signature +
+    docstring as the source-code proxy — our inventory carries no bodies).
+    """
+    from ..functions.embedding import embed_text_udf, encode_one
+
+    root = f"issue:{root_url}"
+    edges = with_reverse_edges(triples)
+    rounds = min(int(math.ceil(max_cost / STRONG_CONNECTION)), 8)
+    paths = bounded_sssp(edges, root, max_hops=rounds, max_cost=max_cost)
+    typed = paths.filter(F.col("node") != root).withColumn(
+        "entity_type", node_type_from_id(F.col("node"))
+    )
+
+    # target filter (knowledge_graph.py:1069-1073): methods, LEAF classes
+    # (no contained methods), issues ≠ root
+    class_with_methods = (
+        triples.filter(F.col("predicate") == "contains method")
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+    typed = typed.filter(F.col("entity_type").isin("method", "class", "issue")).join(
+        F.broadcast(class_with_methods.withColumn("_has_m", F.lit(True))),
+        "node",
+        "left",
+    ).filter((F.col("entity_type") != "class") | F.col("_has_m").isNull()).drop("_has_m")
+
+    meta = entities.select(
+        F.col("entity_id").alias("node"),
+        "name",
+        "signature",
+        F.col("doc_string").alias("doc_string"),
+        "file_path",
+    )
+    df = typed.join(F.broadcast(meta), "node", "left")
+    # test-method exclusion (knowledge_graph.py:1073)
+    df = df.filter(
+        (F.col("entity_type") != "method")
+        | ~F.coalesce(F.col("name"), F.lit("")).contains("test")
+        | F.coalesce(F.col("name"), F.lit("")).contains("pytest")
+    )
+
+    # node text: entity signature+docstring (source proxy); issue body text
+    ntext = F.concat_ws(" ", F.coalesce("name", F.lit("")), F.coalesce("signature", F.lit("")), F.coalesce("doc_string", F.lit("")))
+    if issue_texts is not None:
+        it = issue_texts.select(
+            F.concat(F.lit("issue:"), F.col("url")).alias("node"),
+            F.col("text").alias("_itext"),
+        )
+        df = df.join(F.broadcast(it), "node", "left")
+        ntext = F.when(
+            F.col("entity_type") == "issue", F.coalesce(F.col("_itext"), F.lit(""))
+        ).otherwise(ntext)
+    df = df.withColumn("_ntext", ntext)
+
+    # root embedding computed once driver-side, broadcast as a literal
+    root_vec = encode_one(root_text)
+    root_emb = F.array(*[F.lit(float(x)) for x in root_vec])
+    cos = cosine_similarity(embed_text_udf(F.col("_ntext")), root_emb)
+    lev = levenshtein_similarity(F.lit(root_text), F.col("_ntext"))
+    base = F.when(
+        F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
+    ).otherwise(mixed_score(cos, lev, F.col("cost")))
+
+    root_low = root_text.lower()
+    ib = F.lit(float(identifier_boost_weight))
+    name_low = F.lower(F.coalesce(F.col("name"), F.lit("")))
+    basename_low = F.lower(
+        F.element_at(F.split(F.coalesce(F.col("file_path"), F.lit("")), "/"), -1)
+    )
+    identifier_boost = F.when(
+        (F.col("entity_type") != "issue") & (F.lit(identifier_boost_weight) > 0),
+        F.when(
+            (F.length(name_low) > 3) & F.lit(root_low).contains(name_low), ib
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            (F.length(basename_low) > 0) & F.lit(root_low).contains(basename_low),
+            ib / 2.0,
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+
+    evidence_boost = F.when(
+        (F.lit(evidence_path_boost_weight) > 0)
+        & F.exists(
+            F.col("path"),
+            lambda p: p["node"].startswith("commit:")
+            | p["node"].startswith("repair:")
+            | p["node"].startswith("doc:"),
+        ),
+        F.lit(float(evidence_path_boost_weight)),
+    ).otherwise(F.lit(0.0))
+
+    scored = df.withColumn(
+        "similarity", base + identifier_boost + evidence_boost
+    ).select("node", "entity_type", "similarity", F.col("cost").alias("distance"), "hops")
+
+    # candidate cap (knowledge_graph.py:1177): TakeOrdered, deterministic
+    capped = scored.orderBy(
+        F.desc("similarity"), F.asc("distance"), F.asc("node")
+    ).limit(SIMILARITY_CANDIDATE_CAP)
+
+    w = Window.partitionBy("entity_type").orderBy(
+        F.desc("similarity"), F.asc("distance"), F.asc("node")
+    )
+    return (
+        capped.withColumn("type_rank", F.row_number().over(w))
+        .filter(F.col("type_rank") <= limit)
+    )

@@ -24,8 +24,6 @@ from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
 from ..config import NORMAL_CONNECTION, STRONG_CONNECTION, WEAK_CONNECTION
-from ..functions.html import extract_text_from_html
-
 EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
 CUTOFF = EPOCH + timedelta(days=300)  # pages after this are leakage-filtered
 
@@ -276,7 +274,13 @@ def _make_page(i: int, seed: int = 42) -> tuple[dict, list[dict], str]:
         lang=lang,
     )
     valid = (not late) and lang == "en"
-    return page, (expected if valid else []), extract_text_from_html(html)
+    # Golden extracted text derived ANALYTICALLY from the pre-wrap body —
+    # not by running the extractor (that would only prove determinism):
+    # each body line is wrapped in <p>..</p>; the extractor turns the tag
+    # boundaries into newlines and collapses runs, so line joins become
+    # exactly one blank line.
+    golden_extracted = body.replace("\n", "\n\n")
+    return page, (expected if valid else []), golden_extracted
 
 
 def generate_corpus(n_pages: int = 200, seed: int = 42) -> Corpus:
