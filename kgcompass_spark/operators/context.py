@@ -82,19 +82,33 @@ def _token_rows(df: DataFrame, keys: list[str], text_col) -> DataFrame:
     return df.select(*keys, F.explode(context_tokens(text_col)).alias("tok"))
 
 
+def issue_token_rows(issues: DataFrame) -> DataFrame:
+    """(url, warc_ts, tok) — the exploded issue-side token index. Computed
+    ONCE per pipeline and shared by all three context stages (each stage
+    re-deriving it would run the token regex battery over every page
+    three times — measured at ~3× the stage cost at 48k pages)."""
+    return _token_rows(issues, ["url", "warc_ts"], F.col("clean_text"))
+
+
 def score_artifacts(
-    issues: DataFrame, artifacts: DataFrame, id_col: str, text_col
+    issues: DataFrame | None,
+    artifacts: DataFrame,
+    id_col: str,
+    text_col,
+    issue_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Token-blocked context scoring: (url, warc_ts, <id_col>, score) where
     score = |issue tokens ∩ artifact tokens| (fl.py:247-251 restated).
 
     Artifact token index is broadcast — no shuffle on the issue side except
-    the final count aggregate.
+    the final count aggregate. Pass ``issue_tokens`` (from
+    ``issue_token_rows``) to share one token pass across stages.
     """
-    issue_toks = _token_rows(issues, ["url", "warc_ts"], F.col("clean_text"))
+    if issue_tokens is None:
+        issue_tokens = issue_token_rows(issues)
     art_toks = _token_rows(artifacts, [id_col], text_col)
     return (
-        issue_toks.join(F.broadcast(art_toks), "tok")
+        issue_tokens.join(F.broadcast(art_toks), "tok")
         .groupBy("url", "warc_ts", id_col)
         .agg(F.count("*").alias("score"))
     )
@@ -104,12 +118,43 @@ def _first_lines(col, n: int) -> F.Column:
     return F.array_join(F.slice(F.split(col, "\n"), 1, n), "\n")
 
 
+def commit_context_scores(
+    issues: DataFrame | None,
+    commits: DataFrame,
+    max_files: int = COMMIT_CONTEXT_MAX_FILES,
+    issue_tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Shared (issue, commit) scoring for the commit AND repair-experience
+    stages: (url, warc_ts, commit_id, score, committed_ts), leakage-guarded,
+    score > 0, over non-maintenance commits with 1..max_files files. Both
+    stages filter/rank this one result — scoring runs once."""
+    eligible = commits.filter(
+        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
+        & (F.size("changed_files") > 0)
+        & (F.size("changed_files") <= max_files)
+    )
+    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
+    scored = score_artifacts(
+        issues, eligible.withColumn("_st", score_text), "commit_id", F.col("_st"),
+        issue_tokens=issue_tokens,
+    )
+    return (
+        scored.join(
+            F.broadcast(eligible.select("commit_id", "committed_ts")), "commit_id"
+        )
+        .filter(F.col("committed_ts") <= F.col("warc_ts"))  # leakage guard
+        .filter(F.col("score") > 0)
+    )
+
+
 def link_commit_context(
-    issues: DataFrame,
+    issues: DataFrame | None,
     commits: DataFrame,
     limit: int = COMMIT_CONTEXT_LIMIT,
     max_files: int = COMMIT_CONTEXT_MAX_FILES,
     link_files_cap: int = COMMIT_LINK_FILES_CAP,
+    scored: DataFrame | None = None,
+    issue_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Historical-commit context (fl.py:2412-2500).
 
@@ -126,15 +171,8 @@ def link_commit_context(
         & (F.size("changed_files") > 0)
         & (F.size("changed_files") <= max_files)
     )
-    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
-    scored = score_artifacts(issues, eligible.withColumn("_st", score_text), "commit_id", F.col("_st"))
-    scored = (
-        scored.join(
-            F.broadcast(eligible.select("commit_id", "committed_ts")), "commit_id"
-        )
-        .filter(F.col("committed_ts") <= F.col("warc_ts"))  # leakage guard
-        .filter(F.col("score") > 0)
-    )
+    if scored is None:
+        scored = commit_context_scores(issues, commits, max_files, issue_tokens)
     w = Window.partitionBy("url").orderBy(
         F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
     )
@@ -205,11 +243,13 @@ def commit_method_triples(commits: DataFrame, entities: DataFrame) -> DataFrame:
 
 
 def link_repair_experience(
-    issues: DataFrame,
+    issues: DataFrame | None,
     commits: DataFrame,
     limit: int = REPAIR_EXPERIENCE_LIMIT,
     min_score: int = REPAIR_EXPERIENCE_MIN_SCORE,
     max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
+    scored: DataFrame | None = None,
+    issue_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Historical repair-experience context (fl.py:2317-2410).
 
@@ -218,6 +258,10 @@ def link_repair_experience(
     but gated at score ≥ min_score; top ``limit`` per issue. Links:
     issue -[points to repair experience]-> repair:<sha> (STRONG),
     repair:<sha> -[mentions file]-> file (NORMAL).
+
+    ``scored`` may be the shared ``commit_context_scores`` result (repair
+    commits are a subset of commit-context-eligible ones, and the score is
+    identical) — the repair-specific filters are applied here.
     """
     from ..config import REPAIR_EXPERIENCE_REGEX
 
@@ -227,13 +271,11 @@ def link_repair_experience(
         & (F.size("changed_files") > 0)
         & (F.size("changed_files") <= max_files)
     )
-    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
-    scored = (
-        score_artifacts(issues, repair.withColumn("_st", score_text), "commit_id", F.col("_st"))
-        .join(F.broadcast(repair.select("commit_id", "committed_ts")), "commit_id")
-        .filter(F.col("committed_ts") <= F.col("warc_ts"))
-        .filter(F.col("score") >= min_score)
-    )
+    if scored is None:
+        scored = commit_context_scores(issues, commits, issue_tokens=issue_tokens)
+    scored = scored.join(
+        F.broadcast(repair.select("commit_id")), "commit_id", "left_semi"
+    ).filter(F.col("score") >= min_score)
     w = Window.partitionBy("url").orderBy(
         F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
     )
@@ -291,10 +333,11 @@ def doc_symbols(col) -> F.Column:
 
 
 def link_documentation(
-    issues: DataFrame,
+    issues: DataFrame | None,
     docs: DataFrame,
     entities: DataFrame,
     limit: int = DOC_CONTEXT_LIMIT,
+    issue_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass).
 
@@ -319,7 +362,8 @@ def link_documentation(
     )
     score_text = F.concat_ws("\n", F.col("doc_path"), F.col("text"))
     scored = score_artifacts(
-        issues, docs.withColumn("_st", score_text), "doc_path", F.col("_st")
+        issues, docs.withColumn("_st", score_text), "doc_path", F.col("_st"),
+        issue_tokens=issue_tokens,
     ).filter(F.col("score") > 0)
     w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("doc_path"))
     selected = (
@@ -378,15 +422,26 @@ def context_triples(
     entities: DataFrame,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
+    persist: bool = False,
 ) -> DataFrame | None:
-    """All context stages unioned; None when no context inputs exist."""
+    """All context stages unioned; None when no context inputs exist.
+
+    The issue-token index is built ONCE and shared by all stages, and the
+    (issue, commit) scoring is shared between the commit and repair stages
+    — without this the page-token regex battery ran 3× per pipeline.
+    ``persist=True`` caches the token index (caller owns unpersist via the
+    returned plan's lineage — localCheckpoint keeps it self-contained)."""
     parts = []
+    toks = issue_token_rows(issues)
+    if persist:
+        toks = toks.localCheckpoint(eager=False)
     if commits is not None:
-        parts.append(link_commit_context(issues, commits))
+        scored = commit_context_scores(issues, commits, issue_tokens=toks)
+        parts.append(link_commit_context(issues, commits, scored=scored))
         parts.append(commit_method_triples(commits, entities))
-        parts.append(link_repair_experience(issues, commits))
+        parts.append(link_repair_experience(issues, commits, scored=scored))
     if docs is not None:
-        parts.append(link_documentation(issues, docs, entities))
+        parts.append(link_documentation(issues, docs, entities, issue_tokens=toks))
     if not parts:
         return None
     out = parts[0]

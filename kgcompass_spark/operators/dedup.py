@@ -105,11 +105,15 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = MINHASH_BANDS,
+    num_hashes: int = MINHASH_NUM_HASHES,
 ) -> DataFrame:
     """Band the signature, bucket-join within band: (doc_a, doc_b,
     n_shared_bands). Shuffle key = (band_id, band_hash) — the LSH blocking
-    join; skewed buckets (boilerplate docs) are handled by AQE skew-join."""
-    n = sigs.select(F.size("sig")).first()[0]
+    join; skewed buckets (boilerplate docs) are handled by AQE skew-join.
+
+    ``num_hashes`` is taken as a parameter, NOT probed with a ``first()``
+    action — the probe executed the entire signature job once extra."""
+    n = num_hashes
     rows_per_band = n // bands
     banded = sigs.select(
         "doc_id",

@@ -185,7 +185,7 @@ def build_kg(
         from .operators.context import context_triples
 
         issues = prepared.select("url", "warc_ts", "clean_text")
-        ctx = context_triples(issues, entities, commits=commits, docs=docs)
+        ctx = context_triples(issues, entities, commits=commits, docs=docs, persist=persist)
         # MERGE semantics across sources: keep the strongest (min) weight
         # per (subj, predicate, obj) — a doc-derived ×1.5 link must not
         # override a direct STRONG link
