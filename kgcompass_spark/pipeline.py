@@ -181,11 +181,19 @@ def build_kg(
             "subj", "predicate", "obj", "weight", "src_url"
         )
     )
+    issue_tokens = None
     if commits is not None or docs is not None:
-        from .operators.context import context_triples
+        from .operators.context import context_triples, issue_token_rows
 
         issues = prepared.select("url", "warc_ts", "clean_text")
-        ctx = context_triples(issues, entities, commits=commits, docs=docs, persist=persist)
+        issue_tokens = issue_token_rows(issues)
+        if persist:
+            # catalog-managed cache shared by the three context stages;
+            # exposed as out["issue_tokens"] — caller owns unpersist
+            issue_tokens = issue_tokens.persist()
+        ctx = context_triples(
+            issues, entities, commits=commits, docs=docs, issue_tokens=issue_tokens
+        )
         # MERGE semantics across sources: keep the strongest (min) weight
         # per (subj, predicate, obj) — a doc-derived ×1.5 link must not
         # override a direct STRONG link
@@ -196,10 +204,13 @@ def build_kg(
         )
     if include_reverse:
         triples = with_reverse_edges(triples)
-    return {
+    out = {
         "prepared": prepared,
         "mentions": mentions,
         "frames": frames,
         "links": links,
         "triples": triples,
     }
+    if issue_tokens is not None:
+        out["issue_tokens"] = issue_tokens
+    return out
