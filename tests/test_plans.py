@@ -86,3 +86,42 @@ def test_no_cartesian_anywhere_in_pipeline(spark):
     out = build_kg(pages, entities, include_reverse=True)
     for name in ("links", "triples"):
         assert "CartesianProduct" not in plan_of(out[name]), name
+
+
+def test_ivf_topk_no_global_window(spark):
+    """Centroid selection must be a TakeOrdered (per-partition top-n), not a
+    single-partition Window over the full embedding table — the round-1
+    scale-killer. Also: no count() action during planning (plan builds
+    without executing jobs)."""
+    from kgcompass_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.limit(1).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(ivf_topk(emb, q, k=5, n_cells=4, n_probe=2))
+    assert "TakeOrderedAndProject" in plan
+    # any Window must sit above a LocalLimit (the n_cells rows), never
+    # directly over the full scan in a single partition
+    window_lines = [l for l in plan.splitlines() if "Window" in l and "cell" in l]
+    for line in window_lines:
+        assert "row_number" in line  # the bounded post-limit cell numbering
+    assert "CartesianProduct" not in plan
+
+
+def test_context_stages_broadcast_only(spark):
+    """The context scoring joins must broadcast the artifact token index —
+    the issue/page side must never shuffle for a join (only for its own
+    aggregates/windows)."""
+    from kgcompass_spark.sources.datagen import (
+        CUTOFF,
+        context_corpus_dataframes,
+    )
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
+    commits, docs, _ = context_corpus_dataframes(spark, n_pages=20)
+    out = build_kg(pages, entities, cutoff=CUTOFF, commits=commits, docs=docs)
+    plan = plan_of(out["triples"])
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # scoring + meta joins
