@@ -123,3 +123,21 @@ def path_length_histogram(preds: DataFrame, gt_entities: DataFrame, k: int = 20)
         .agg(F.count("*").alias("cnt"))
         .orderBy("path_len")
     )
+
+
+def path_type_histogram(
+    preds: DataFrame, gt_entities: DataFrame, k: int = 20
+) -> DataFrame:
+    """Figure 7 (calc_prefl.py:62-73 count_path_start_type): node-kind
+    distribution along the best paths of matched candidates. ``preds`` needs
+    a ``path`` column (array<struct<predicate,node>> from bounded_sssp);
+    kinds come from the '<kind>:' node-id prefix, matching the reference's
+    label-derived start_type. Path items beyond the root (path[1:]) count,
+    as in the reference loop (calc_prefl.py:495-497)."""
+    matched = preds.filter(F.col("rank") <= k).join(
+        gt_entities, ["instance_id", "signature"]
+    )
+    kinds = matched.select(
+        F.explode(F.slice(F.col("path"), 2, 1_000_000)).alias("p")
+    ).select(F.split(F.col("p.node"), ":", 2)[0].alias("node_kind"))
+    return kinds.groupBy("node_kind").agg(F.count("*").alias("cnt")).orderBy("node_kind")

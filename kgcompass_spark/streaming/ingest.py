@@ -62,6 +62,53 @@ def windowed_mention_counts(
     )
 
 
+def streaming_url_dedup(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once per url on the continuous path: state-backed streaming
+    dedup with watermark eviction (``dropDuplicatesWithinWatermark``) — the
+    batch pipeline's min(struct) url-dedup restated for streams. Duplicate
+    crawls of a url arriving within the watermark horizon are dropped;
+    state for urls older than the watermark is evicted, so memory is
+    bounded by the crawl-rate × horizon, not by history."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def running_mention_totals(mentions_stream: DataFrame):
+    """Custom stateful operator (applyInPandasWithState): cumulative
+    per-mention-type totals across micro-batches, emitted on every update.
+
+    The reference has no streaming at all (SURVEY §2.12); this is the
+    engine-capability face of A1-style counters for continuous crawling.
+    State = one long per mtype — a bounded key space (the mention-type
+    vocabulary), so NoTimeout is safe; on an unbounded key space (e.g.
+    per-url state) a ProcessingTimeTimeout eviction would be required —
+    note that processAllAvailable() on a finite source never terminates
+    under ProcessingTimeTimeout in this Spark version (timeout batches keep
+    rescheduling), so timeout-evicted operators need a real trigger.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"mtype": [key[0]], "total_mentions": [total]})
+
+    return (
+        mentions_stream.groupBy("mtype")
+        .applyInPandasWithState(
+            update,
+            outputStructType="mtype string, total_mentions long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     input_dir: str,

@@ -31,3 +31,79 @@ def test_stream_mention_counts(spark, tmp_path):
     types = {r["mtype"] for r in out}
     assert "file" in types and "import" in types
     assert all(r["n_mentions"] > 0 for r in out)
+
+
+def test_streaming_url_dedup_exactly_once(spark, tmp_path):
+    """State-backed streaming dedup: the corpus's duplicate-crawl url must
+    come out exactly once."""
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.streaming.ingest import read_pages_stream, streaming_url_dedup
+
+    pages, _, _, _ = corpus_dataframes(spark, n_pages=20)  # includes dup of page 5
+    p = str(tmp_path / "dd")
+    pages.write.parquet(p)
+    assert pages.count() > pages.select("url").distinct().count()
+
+    deduped = streaming_url_dedup(read_pages_stream(spark, p))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT url, count(*) AS n FROM dd_test GROUP BY url").collect()
+    assert rows and all(r["n"] == 1 for r in rows)
+
+
+def test_running_mention_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: totals in
+    the final update match the batch counts."""
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.streaming.ingest import (
+        read_pages_stream,
+        running_mention_totals,
+        streaming_mentions,
+    )
+
+    pages, _, _, _ = corpus_dataframes(spark, n_pages=20)
+    p = str(tmp_path / "rt")
+    pages.write.parquet(p)
+
+    ments = streaming_mentions(read_pages_stream(spark, p))
+    totals = running_mention_totals(ments)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rt_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # latest update per mtype == the batch-mode ground truth
+    got = {
+        r["mtype"]: r["total_mentions"]
+        for r in spark.sql(
+            "SELECT mtype, max(total_mentions) AS total_mentions FROM rt_test GROUP BY mtype"
+        ).collect()
+    }
+    from kgcompass_spark.functions.cleaning import clean_issue_text
+    from kgcompass_spark.functions.mentions import mentions_dataframe
+
+    prepared = (
+        pages.filter(F.col("lang") == "en")
+        .withColumn("clean_text", clean_issue_text(F.coalesce("text", F.lit(""))))
+        .select("url", "warc_ts", "clean_text")
+    )
+    want = {
+        r["mtype"]: r["n"]
+        for r in mentions_dataframe(prepared)
+        .select(F.explode("mentions").alias("m"))
+        .groupBy(F.col("m.mtype").alias("mtype"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
