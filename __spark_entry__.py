@@ -446,6 +446,20 @@ def _kg_pipeline_triples(spark, sf_dir):
     )
 
 
+def _ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard verification (dedup family) — exact word-3-shingle
+    Jaccard on a deterministic pair set (each doc vs its successor), so the
+    set arithmetic is DuckDB-checkable."""
+    from kgcompass_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    out = ngram_jaccard(d, pairs)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _a8_eval_summary(spark, sf_dir):
     """§3.3 eval harness (calc_prefl semantics) — oracle-checked on a
     synthetic prediction/ground-truth shape over orders+lineitem:
@@ -598,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_connected_components": _g8_connected_components,
         "g2_bfs_hops": _g2_bfs_hops,
         "a8_eval_summary": _a8_eval_summary,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -772,6 +787,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
             FROM orders
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                     END AS sh
+              FROM toks
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "a8_eval_summary": """
             WITH insts AS (SELECT o_orderkey AS instance_id FROM orders WHERE o_orderkey % 32 = 0),

@@ -162,24 +162,29 @@ def connected_components(
                 F.col("comp").alias("_old"),  # carried: delta = comp != _old
             )
         )
-        # pointer jumping: comp ← comp(comp); ONE checkpoint per round —
-        # the old label rides along so the delta is a filter, not a join
-        jumped = (
-            new_parent.alias("a")
-            .join(
-                new_parent.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("b"),
-                "comp",
-                "left",
+        # pointer jumping ×2: comp ← comp(comp(comp(comp))) per round — two
+        # self-joins quadruple the pointer-collapse rate, so path-shaped
+        # components converge in half the rounds (each round costs one
+        # materialization; the extra join is cheaper than an extra round).
+        # The old label rides along so the delta is a filter, not a join.
+        jumped = new_parent
+        for _j in range(2):
+            jumped = (
+                jumped.alias("a")
+                .join(
+                    jumped.select(
+                        F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                    ).alias("b"),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    F.col("node"),
+                    F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
+                    "_old",
+                )
             )
-            .select(
-                F.col("node"),
-                F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
-                "_old",
-            )
-            .localCheckpoint(eager=True)
-        )
+        jumped = jumped.localCheckpoint(eager=True)
         changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
         parent = jumped.select("node", "comp")
         if changed.isEmpty():
