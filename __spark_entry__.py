@@ -367,6 +367,29 @@ def _g2_bfs_hops(spark, sf_dir):
     return out.select("node", "hops")
 
 
+def _g2b_bfs_multi_root(spark, sf_dir):
+    """G2 multi-root batch variant: BFS hops from EVERY region root in one
+    job (bounded_sssp_multi); oracle = recursive CTE seeded from all roots."""
+    from kgcompass_spark.operators.graph import bounded_sssp_multi
+
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    r = _t(spark, sf_dir, "region")
+    e1 = n.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("subj"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    e2 = c.select(
+        F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("subj"),
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("obj"),
+        F.lit(1.0).alias("weight"),
+    )
+    roots = r.select(F.concat(F.lit("region:"), F.col("r_regionkey")).alias("root"))
+    out = bounded_sssp_multi(e1.unionByName(e2), roots, max_hops=2)
+    return out.select("root", "node", "hops")
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _minhash_near_dups(spark, sf_dir):
@@ -611,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_order_dedup_union": _u1_order_dedup_union,
         "g8_connected_components": _g8_connected_components,
         "g2_bfs_hops": _g2_bfs_hops,
+        "g2b_bfs_multi_root": _g2b_bfs_multi_root,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # rows-only
@@ -787,6 +811,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
             FROM orders
+        """,
+        "g2b_bfs_multi_root": """
+            WITH RECURSIVE bfs(root, node, hops) AS (
+              SELECT 'region:' || r_regionkey, 'region:' || r_regionkey, 0 FROM region
+              UNION ALL
+              SELECT bfs.root, e.obj, bfs.hops + 1 FROM bfs JOIN (
+                SELECT 'region:' || n_regionkey AS subj, 'nation:' || n_nationkey AS obj FROM nation
+                UNION ALL
+                SELECT 'nation:' || c_nationkey AS subj, 'customer:' || c_custkey AS obj FROM customer
+              ) e ON e.subj = bfs.node
+              WHERE bfs.hops < 2
+            )
+            SELECT root, node, min(hops) AS hops FROM bfs GROUP BY root, node
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

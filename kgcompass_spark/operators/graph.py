@@ -101,6 +101,74 @@ def bounded_sssp(
     return best
 
 
+def bounded_sssp_multi(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_hops: int = 4,
+    max_cost: float | None = None,
+    frontier_cap: int = SIMILARITY_CANDIDATE_CAP,
+) -> DataFrame:
+    """Multi-root bounded SSSP: shortest weighted paths from EVERY root in
+    one job — the batch generalization the per-instance reference never
+    needed (it ranks one issue per process; a 10^12-page engine ranks every
+    issue in one pass). State is keyed by (root, node); the per-round
+    frontier cap applies PER ROOT (row_number over root), mirroring the
+    single-root cap.
+
+    ``roots``: one column ``root``. Returns (root, node, cost, hops).
+    Per round one shuffle: frontier ⋈ edges on the node, then a
+    (root, node) min window. Path structs are omitted (they multiply state
+    by path width × roots; use bounded_sssp for per-root path details).
+    """
+    e = edges.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("weight").cast("double"),
+    ).localCheckpoint(eager=True)
+    frontier = roots.select(
+        F.col("root"),
+        F.col("root").alias("node"),
+        F.lit(0.0).alias("cost"),
+        F.lit(0).alias("hops"),
+    )
+    best = frontier.localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                "root",
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("weight")).alias("cost"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        if max_cost is not None:
+            nxt = nxt.filter(F.col("cost") <= max_cost)
+        merged = best.unionByName(nxt)
+        w = Window.partitionBy("root", "node").orderBy(F.asc("cost"), F.asc("hops"))
+        best = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        # improved (root, node) pairs only, width-capped per root
+        improved = best.join(
+            nxt.select("root", "node").distinct(), ["root", "node"], "left_semi"
+        )
+        wc = Window.partitionBy("root").orderBy(F.asc("cost"), F.asc("node"))
+        frontier = (
+            improved.withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") <= frontier_cap)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+    return best
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

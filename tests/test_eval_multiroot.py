@@ -1,0 +1,81 @@
+"""Eval-harness histograms (§3.3 Figures 6-8) and the multi-root SSSP
+batch variant."""
+
+from pyspark.sql import functions as F
+
+from kgcompass_spark.operators.graph import bounded_sssp, bounded_sssp_multi
+from kgcompass_spark.plans.eval import (
+    path_length_histogram,
+    path_type_histogram,
+    prefl_per_instance,
+    prefl_summary,
+    rank_histogram,
+)
+
+TRIPLE = "subj string, predicate string, obj string, weight double, src_url string"
+
+
+def test_multi_root_equals_per_root(spark):
+    """bounded_sssp_multi must agree with per-root bounded_sssp on
+    (node, cost, hops) for every root."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "r", "b", 0.5, ""),
+            ("b", "r", "c", 0.25, ""),
+            ("x", "r", "b", 1.0, ""),
+            ("c", "r", "d", 0.25, ""),
+        ],
+        TRIPLE,
+    )
+    roots = spark.createDataFrame([("a",), ("x",)], "root string")
+    multi = {
+        (r.root, r.node, round(r.cost, 6), r.hops)
+        for r in bounded_sssp_multi(edges, roots, max_hops=3).collect()
+    }
+    single = set()
+    for root in ("a", "x"):
+        for r in bounded_sssp(edges, root, max_hops=3).collect():
+            single.add((root, r.node, round(r.cost, 6), r.hops))
+    assert multi == single
+
+
+def test_prefl_histograms(spark):
+    preds = spark.createDataFrame(
+        [
+            # instance 1: gt hit at ranks 1 and 3; path lens 2 and 3
+            (1, 1, "m.a", "p/a.py", 2, [("points to file", "file:p/a.py"), ("contains", "m.a")]),
+            (1, 2, "m.x", "p/x.py", 2, [("points to file", "file:p/x.py"), ("contains", "m.x")]),
+            (1, 3, "m.b", "p/b.py", 3, [("points to commit", "commit:c1"), ("modified", "file:p/b.py"), ("contains", "m.b")]),
+            # instance 2: no gt hits in top-k
+            (2, 1, "m.z", "p/z.py", 2, [("points to file", "file:p/z.py"), ("contains", "m.z")]),
+        ],
+        "instance_id int, rank int, signature string, file_path string, path_len int, "
+        "path array<struct<predicate:string,node:string>>",
+    )
+    gt_e = spark.createDataFrame(
+        [(1, "m.a"), (1, "m.b"), (2, "m.q")], "instance_id int, signature string"
+    )
+    gt_f = spark.createDataFrame(
+        [(1, "p/a.py"), (2, "p/q.py")], "instance_id int, patch_file string"
+    )
+    per = prefl_per_instance(preds, gt_e, gt_f).collect()
+    by_id = {r.instance_id: r for r in per}
+    assert by_id[1].n_matched == 2 and by_id[1].find_file == 1
+    assert abs(by_id[1].found_ratio - 1.0) < 1e-9 and by_id[1].first_rank == 1
+    assert by_id[2].n_matched == 0 and by_id[2].find_file == 0
+
+    summ = prefl_summary(prefl_per_instance(preds, gt_e, gt_f)).first()
+    assert summ.tot == 2 and summ.tot_find_file == 1
+    assert abs(summ.mrr - 0.5) < 1e-9  # (1/1 + 0)/2
+
+    ranks = {r.rank: r.cnt for r in rank_histogram(preds, gt_e).collect()}
+    assert ranks == {1: 1, 3: 1, 0: 1}  # two hits + one missed instance
+
+    lens = {r.path_len: r.cnt for r in path_length_histogram(preds, gt_e).collect()}
+    assert lens == {2: 1, 3: 1}
+
+    # Figure 7: node kinds along matched paths beyond the first hop —
+    # matched paths are rank-1 ([file:a, m.a] → tail "m.a") and rank-3
+    # ([commit:c1, file:b, m.b] → tail "file", "m.b")
+    kinds = {r.node_kind: r.cnt for r in path_type_histogram(preds, gt_e).collect()}
+    assert kinds == {"m.a": 1, "file": 1, "m.b": 1}
