@@ -31,9 +31,119 @@ from ..functions.similarity import (
     levenshtein_similarity,
     mixed_score,
 )
-from ..operators.graph import bounded_sssp
+from ..operators.graph import bounded_sssp, bounded_sssp_multi
 from ..operators.ranking import node_type_from_id
 from ..operators.triples import with_reverse_edges
+
+
+def ranked_related_all(
+    triples: DataFrame,
+    entities: DataFrame,
+    issue_texts: DataFrame,
+    max_cost: float = 2.0,
+    limit: int = 500,
+    identifier_boost_weight: float = 0.0,
+) -> DataFrame:
+    """Batched ranked retrieval: the per-root ``ranked_related_entities``
+    output for EVERY issue in ONE job (bounded_sssp_multi keyed by root).
+    This is the shape that runs at 10^12 pages — the reference loops one
+    Neo4j session per instance; one Spark job amortizes the graph pass
+    across all roots.
+
+    ``issue_texts``: (url, text) — roots AND issue-node texts. Issue
+    embeddings come from the same encoder UDF (no driver-side literals:
+    there are millions of roots). Differences vs the single-root plan,
+    documented: best-path structs are not carried (state × roots would
+    multiply by path width), so the evidence-path boost is unavailable
+    here — use the single-root plan when path provenance is needed.
+
+    Returns (root, node, entity_type, similarity, distance, hops, type_rank).
+    """
+    from ..functions.embedding import embed_text_udf
+
+    edges = with_reverse_edges(triples)
+    roots = issue_texts.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("root")
+    )
+    rounds = min(int(math.ceil(max_cost / STRONG_CONNECTION)), 8)
+    paths = bounded_sssp_multi(edges, roots, max_hops=rounds, max_cost=max_cost)
+    typed = paths.filter(F.col("node") != F.col("root")).withColumn(
+        "entity_type", node_type_from_id(F.col("node"))
+    )
+    class_with_methods = (
+        triples.filter(F.col("predicate") == "contains method")
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+    typed = (
+        typed.filter(F.col("entity_type").isin("method", "class", "issue"))
+        .join(
+            F.broadcast(class_with_methods.withColumn("_has_m", F.lit(True))),
+            "node",
+            "left",
+        )
+        .filter((F.col("entity_type") != "class") | F.col("_has_m").isNull())
+        .drop("_has_m")
+    )
+    meta = entities.select(
+        F.col("entity_id").alias("node"), "name", "signature",
+        F.col("doc_string").alias("doc_string"), "file_path",
+    )
+    df = typed.join(F.broadcast(meta), "node", "left").filter(
+        (F.col("entity_type") != "method")
+        | ~F.coalesce(F.col("name"), F.lit("")).contains("test")
+        | F.coalesce(F.col("name"), F.lit("")).contains("pytest")
+    )
+    # node texts: entity signature+docstring; issue body — computed ONCE per
+    # node/root via the texts table, embeddings cached through the join
+    it = issue_texts.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("_iid"),
+        F.col("text").alias("_itext"),
+    )
+    df = df.join(F.broadcast(it.withColumnRenamed("_iid", "node")), "node", "left")
+    ntext = F.when(
+        F.col("entity_type") == "issue", F.coalesce(F.col("_itext"), F.lit(""))
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.coalesce("name", F.lit("")),
+            F.coalesce("signature", F.lit("")),
+            F.coalesce("doc_string", F.lit("")),
+        )
+    )
+    df = df.withColumn("_ntext", ntext)
+    # root text joins by root id; its embedding is a column, not a literal
+    rt = it.select(F.col("_iid").alias("root"), F.col("_itext").alias("_rtext"))
+    df = df.join(rt, "root")
+    cos = cosine_similarity(
+        embed_text_udf(F.col("_ntext")), embed_text_udf(F.col("_rtext"))
+    )
+    lev = levenshtein_similarity(F.col("_rtext"), F.col("_ntext"))
+    base = F.when(
+        F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
+    ).otherwise(mixed_score(cos, lev, F.col("cost")))
+    ib = F.lit(float(identifier_boost_weight))
+    name_low = F.lower(F.coalesce(F.col("name"), F.lit("")))
+    base_low = F.lower(
+        F.element_at(F.split(F.coalesce(F.col("file_path"), F.lit("")), "/"), -1)
+    )
+    root_low = F.lower(F.coalesce(F.col("_rtext"), F.lit("")))
+    identifier_boost = F.when(
+        (F.col("entity_type") != "issue") & (F.lit(identifier_boost_weight) > 0),
+        F.when((F.length(name_low) > 3) & root_low.contains(name_low), ib).otherwise(F.lit(0.0))
+        + F.when((F.length(base_low) > 0) & root_low.contains(base_low), ib / 2.0).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    scored = df.withColumn("similarity", base + identifier_boost).select(
+        "root", "node", "entity_type", "similarity",
+        F.col("cost").alias("distance"), "hops",
+    )
+    w = Window.partitionBy("root", "entity_type").orderBy(
+        F.desc("similarity"), F.asc("distance"), F.asc("node")
+    )
+    return (
+        scored.withColumn("type_rank", F.row_number().over(w))
+        .filter(F.col("type_rank") <= limit)
+    )
 
 
 def ranked_related_entities(

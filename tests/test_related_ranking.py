@@ -108,6 +108,30 @@ def test_evidence_path_boost(spark, small_kg):
     assert top_method.node == "method:pkg.cpath.Delta.commit_only@pkg/cpath.py"
 
 
+def test_ranked_related_all_matches_single_root(spark, small_kg):
+    """The batched all-roots plan must produce the single-root plan's exact
+    scores and ranks (evidence-path boost off — the batched variant carries
+    no path structs)."""
+    from kgcompass_spark.plans.related import ranked_related_all
+
+    triples, ents, root_url, root_text = small_kg
+    issue_texts = spark.createDataFrame([(root_url, root_text)], "url string, text string")
+    single = {
+        (r.node, round(r.similarity, 6), round(r.distance, 6), r.type_rank)
+        for r in ranked_related_entities(
+            triples, ents, root_url, root_text,
+            issue_texts=issue_texts, max_cost=3.0, identifier_boost_weight=0.3,
+        ).collect()
+    }
+    batched = {
+        (r.node, round(r.similarity, 6), round(r.distance, 6), r.type_rank)
+        for r in ranked_related_all(
+            triples, ents, issue_texts, max_cost=3.0, identifier_boost_weight=0.3
+        ).collect()
+    }
+    assert batched == single
+
+
 def test_rank_evidence_full_breaks_fourkey_ties(spark):
     """Two candidates identical on (support, distance, anchor) — the old
     4-key cannot order them; the 10-key must put the exact-anchor match
