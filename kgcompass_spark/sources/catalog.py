@@ -157,10 +157,15 @@ def run_pipeline_checkpointed(
     root: str,
     cutoff=None,
     fingerprint: str = "v1",
+    commits: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> dict:
     """The full KG pipeline with a snapshot checkpoint per stage — kill the
     process between any two stages and a re-run resumes from the last
-    completed snapshot, byte-identical output."""
+    completed snapshot, byte-identical output. With ``commits``/``docs``
+    the context link stages land as their own snapshot and the final
+    triples stage is the min-merged union."""
+    from ..operators.triples import links_to_triples, structural_triples
     from ..pipeline import (
         extract_frames,
         extract_mentions,
@@ -168,7 +173,6 @@ def run_pipeline_checkpointed(
         pages_meta_from,
         prepare_pages,
     )
-    from ..operators.triples import links_to_triples, structural_triples
 
     cat = StageCatalog(spark, root)
     prepared = cat.run_stage(
@@ -186,17 +190,38 @@ def run_pipeline_checkpointed(
         fingerprint,
         bucket_col="url",
     )
-    triples = cat.run_stage(
-        "triples",
-        lambda: links_to_triples(links).unionByName(
+    ctx = None
+    if commits is not None or docs is not None:
+        from ..operators.context import context_triples
+
+        ctx = cat.run_stage(
+            "context",
+            lambda: context_triples(
+                prepared.select("url", "warc_ts", "clean_text"),
+                entities,
+                commits=commits,
+                docs=docs,
+            ),
+            fingerprint,
+            bucket_col="subj",
+        )
+
+    def build_triples():
+        t = links_to_triples(links).unionByName(
             structural_triples(entities).select(
                 "subj", "predicate", "obj", "weight", "src_url"
             )
-        ),
-        fingerprint,
-        bucket_col="subj",
-    )
-    return {
+        )
+        if ctx is not None:
+            t = (
+                t.unionByName(ctx)
+                .groupBy("subj", "predicate", "obj")
+                .agg(F.min("weight").alias("weight"), F.min("src_url").alias("src_url"))
+            )
+        return t
+
+    triples = cat.run_stage("triples", build_triples, fingerprint, bucket_col="subj")
+    out = {
         "prepared": prepared,
         "mentions": mentions,
         "frames": frames,
@@ -204,3 +229,6 @@ def run_pipeline_checkpointed(
         "triples": triples,
         "catalog": cat,
     }
+    if ctx is not None:
+        out["context"] = ctx
+    return out

@@ -68,3 +68,37 @@ def test_half_written_snapshot_not_trusted(spark, root):
     # simulate a crash mid-write: data dir exists, no manifest
     os.makedirs(os.path.join(root, "s3", "v1.inprogress", "data"), exist_ok=True)
     assert not cat.has_stage("s3")
+
+
+def test_pipeline_resume_with_context(spark, tmp_path):
+    """Context stages land as their own snapshot; resume after a 'crash'
+    between context and triples matches an uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.sources.datagen import context_corpus_dataframes
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=40)
+    commits, docs, _ = context_corpus_dataframes(spark, n_pages=40)
+    ra, rb = str(tmp_path / "ctxa"), str(tmp_path / "ctxb")
+    out1 = run_pipeline_checkpointed(
+        spark, pages, entities, ra, cutoff=CUTOFF, commits=commits, docs=docs
+    )
+    n1 = out1["triples"].count()
+    assert out1["catalog"].has_stage("context")
+    # 'crash' after context: drop only the triples snapshot, re-run
+    import shutil
+
+    shutil.rmtree(ra + "/triples")
+    out1b = run_pipeline_checkpointed(
+        spark, pages, entities, ra, cutoff=CUTOFF, commits=commits, docs=docs
+    )
+    # uninterrupted control run
+    out2 = run_pipeline_checkpointed(
+        spark, pages, entities, rb, cutoff=CUTOFF, commits=commits, docs=docs
+    )
+    t1 = {(r.subj, r.predicate, r.obj) for r in out1b["triples"].collect()}
+    t2 = {(r.subj, r.predicate, r.obj) for r in out2["triples"].collect()}
+    assert t1 == t2 and len(t1) > 0 and n1 == len(t1)
+    # context predicates present in the snapshot
+    preds = {r.predicate for r in out1b["context"].select("predicate").distinct().collect()}
+    assert "points to commit" in preds and "points to documentation" in preds
