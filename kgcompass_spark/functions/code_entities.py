@@ -80,11 +80,15 @@ def parse_python_entities(file_path: str, source: str) -> list[dict]:
     try:
         tree = ast.parse(source)
     except SyntaxError:
-        # E8: python-2 rescue — print statements to calls, then retry
+        # E8: python-2 rescue (reference: language_config py2 fallbacks) —
+        # print statements → calls, `<>` → `!=`, `.has_key(x)` → `x in d`
+        # approximated as a parseable `__contains__(x)` call, then retry
         try:
             import re
 
             rescued = re.sub(r"(?m)^(\s*)print\s+([^(].*)$", r"\1print(\2)", source or "")
+            rescued = rescued.replace("<>", "!=")
+            rescued = re.sub(r"\.has_key\(", ".__contains__(", rescued)
             tree = ast.parse(rescued)
         except SyntaxError:
             return []

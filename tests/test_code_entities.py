@@ -50,6 +50,19 @@ def test_parse_python2_rescue():
     assert any(r["name"] == "old.f" for r in rows)
 
 
+def test_parse_python2_rescue_neq_and_haskey():
+    """E8 full battery: `<>` comparisons and `.has_key()` calls rescue too."""
+    src = (
+        "def g(d, x):\n"
+        "    if x <> 0 and d.has_key(x):\n"
+        "        print 'yes'\n"
+        "        return d[x]\n"
+        "    return None\n"
+    )
+    rows = parse_python_entities("legacy.py", src)
+    assert any(r["name"] == "legacy.g" for r in rows)
+
+
 def test_parse_garbage_returns_empty():
     assert parse_python_entities("x.py", "def def def (((") == []
 
