@@ -62,6 +62,29 @@ def test_all_17_predicate_pairs_emitted(spark, full_corpus):
     assert not missing_rev, f"reverse predicates never emitted: {missing_rev}"
 
 
+CONTEXT_PREDICATES = [
+    "points to commit", "modified file", "modified by commit",
+    "points to repair experience", "mentions file",
+    "points to documentation", "mentions file by documentation",
+]
+
+
+def test_context_weights_exact(spark, full_corpus, full_out):
+    """Weights on the context predicates are EXACT vs the analytic goldens
+    (the base pipeline's 5%-tolerance tier check doesn't apply here: no
+    fuzzy resolvers touch these predicates)."""
+    _, _, _, _, _, ctx_goldens = full_corpus
+    got = full_out["triples"].filter(F.col("predicate").isin(CONTEXT_PREDICATES))
+    want = ctx_goldens.filter(F.col("predicate").isin(CONTEXT_PREDICATES)).select(
+        "subj", "predicate", "obj", F.col("weight").alias("gw")
+    ).dropDuplicates(["subj", "predicate", "obj"])
+    joined = got.join(want, ["subj", "predicate", "obj"])
+    total = joined.count()
+    bad = joined.filter(F.abs(F.col("weight") - F.col("gw")) > 1e-9).count()
+    assert total > 0
+    assert bad == 0, f"{bad}/{total} exact-weight mismatches on context predicates"
+
+
 def test_maintenance_commits_never_linked(spark, full_corpus, full_out):
     """Commits with maintenance first lines (bump/changelog/format...) are
     excluded from both the commit and experience stages (fl.py:360-365)."""
