@@ -145,25 +145,32 @@ def bounded_sssp_multi(
         )
         if max_cost is not None:
             nxt = nxt.filter(F.col("cost") <= max_cost)
+        # min(struct) hash-agg, NOT a row_number window: the partial
+        # aggregate combines map-side, so the shuffle carries one candidate
+        # per (partition, root, node) instead of sorting every generated
+        # path row (state here is |roots| × |reachable| — millions)
         merged = best.unionByName(nxt)
-        w = Window.partitionBy("root", "node").orderBy(F.asc("cost"), F.asc("hops"))
-        best = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        new_best = (
+            merged.groupBy("root", "node")
+            .agg(F.min(F.struct("cost", "hops")).alias("_b"))
+            .select("root", "node", F.col("_b.cost").alias("cost"), F.col("_b.hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
-        # improved (root, node) pairs only, width-capped per root
-        improved = best.join(
-            nxt.select("root", "node").distinct(), ["root", "node"], "left_semi"
-        )
+        # frontier = STRICTLY IMPROVED pairs (semi-joining against nxt would
+        # re-propagate nodes that were merely re-reached at a worse cost)
+        changed = new_best.join(
+            best.select("root", "node", F.col("cost").alias("_oc")),
+            ["root", "node"],
+            "left",
+        ).filter(F.col("_oc").isNull() | (F.col("cost") < F.col("_oc"))).drop("_oc")
         wc = Window.partitionBy("root").orderBy(F.asc("cost"), F.asc("node"))
         frontier = (
-            improved.withColumn("_rn", F.row_number().over(wc))
+            changed.withColumn("_rn", F.row_number().over(wc))
             .filter(F.col("_rn") <= frontier_cap)
             .drop("_rn")
             .localCheckpoint(eager=True)
         )
+        best = new_best
         if frontier.isEmpty():
             break
     return best

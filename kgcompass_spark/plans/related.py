@@ -94,8 +94,11 @@ def ranked_related_all(
         | ~F.coalesce(F.col("name"), F.lit("")).contains("test")
         | F.coalesce(F.col("name"), F.lit("")).contains("pytest")
     )
-    # node texts: entity signature+docstring; issue body — computed ONCE per
-    # node/root via the texts table, embeddings cached through the join
+    # node texts: entity signature+docstring; issue body. EMBEDDINGS ARE
+    # FACTORED PER DISTINCT NODE AND PER ROOT, not per (root, node) pair —
+    # the pair table is |roots| × |reachable|, so a per-row UDF there runs
+    # the encoder O(pairs) times (measured 2.4 s/root at 48k pages; factored
+    # it is O(nodes + roots) encoder calls)
     it = issue_texts.select(
         F.concat(F.lit("issue:"), F.col("url")).alias("_iid"),
         F.col("text").alias("_itext"),
@@ -112,12 +115,20 @@ def ranked_related_all(
         )
     )
     df = df.withColumn("_ntext", ntext)
-    # root text joins by root id; its embedding is a column, not a literal
-    rt = it.select(F.col("_iid").alias("root"), F.col("_itext").alias("_rtext"))
-    df = df.join(rt, "root")
-    cos = cosine_similarity(
-        embed_text_udf(F.col("_ntext")), embed_text_udf(F.col("_rtext"))
+    node_embs = (
+        df.select("node", "_ntext")
+        .dropDuplicates(["node"])
+        .withColumn("_nemb", embed_text_udf(F.col("_ntext")))
+        .select("node", "_nemb")
     )
+    df = df.join(node_embs, "node")
+    rt = it.select(
+        F.col("_iid").alias("root"),
+        F.col("_itext").alias("_rtext"),
+        embed_text_udf(F.col("_itext")).alias("_remb"),
+    )
+    df = df.join(rt, "root")
+    cos = cosine_similarity(F.col("_nemb"), F.col("_remb"))
     lev = levenshtein_similarity(F.col("_rtext"), F.col("_ntext"))
     base = F.when(
         F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
