@@ -350,9 +350,121 @@ def call_graph_edges(
 # Spark operators
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# E5/E6 — Java / C++ extraction. The reference's own Java/C++ support is
+# regex-pattern based ("Basic patterns", language_factory.py:212-280); these
+# extractors match that fidelity: top-level classes/interfaces/structs and
+# their methods via the same pattern family, spans by brace matching.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_JAVA_PACKAGE_RE = _re.compile(r"(?m)^\s*package\s+([\w.]+)\s*;")
+_JAVA_CLASS_RE = _re.compile(
+    r"(?m)^[ \t]*(?:(?:public|protected|private|abstract|final|static|strictfp)\s+)*"
+    r"(class|interface|enum)\s+([A-Za-z_$][\w$]*)"
+)
+_JAVA_METHOD_RE = _re.compile(
+    r"(?m)^[ \t]*(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)+"
+    r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:\{|throws)"
+)
+_CPP_CLASS_RE = _re.compile(r"(?m)^[ \t]*(class|struct|union)\s+([A-Za-z_]\w*)[^;{]*\{")
+_CPP_FUNC_RE = _re.compile(
+    r"(?m)^[ \t]*(?!if|for|while|switch|catch|return|else)"
+    r"[\w:<>~&*\s]+?\b([A-Za-z_]\w*)\s*\(([^;)]*)\)\s*(?:const\s*)?\{"
+)
+_CTRL_KEYWORDS = frozenset({"if", "for", "while", "switch", "catch", "return", "new", "else", "do"})
+
+
+def _line_of(source: str, pos: int) -> int:
+    return source.count("\n", 0, pos) + 1
+
+
+def _brace_end_line(source: str, open_pos: int) -> int:
+    """Line of the brace matching the first '{' at/after ``open_pos``
+    (crude: no string/comment awareness — the reference's regex patterns
+    have the same limitation)."""
+    start = source.find("{", open_pos)
+    if start == -1:
+        return _line_of(source, open_pos)
+    depth = 0
+    for i in range(start, len(source)):
+        c = source[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return _line_of(source, i)
+    return _line_of(source, len(source) - 1)
+
+
+def _parse_braced_entities(file_path: str, source: str, module: str,
+                           class_re, method_re) -> list[dict]:
+    rows: list[dict] = []
+    classes = []
+    for m in class_re.finditer(source or ""):
+        cname = m.group(2)
+        qname = f"{module}.{cname}" if module else cname
+        s_line = _line_of(source, m.start())
+        e_line = _brace_end_line(source, m.end())
+        classes.append((cname, qname, s_line, e_line))
+        rows.append(dict(file_path=file_path, kind="class", name=qname,
+                         short_name=cname, signature=f"{m.group(1)} {cname}",
+                         start_line=s_line, end_line=e_line, doc_string=""))
+    for m in method_re.finditer(source or ""):
+        mname = m.group(1)
+        if mname in _CTRL_KEYWORDS:
+            continue
+        s_line = _line_of(source, m.start())
+        e_line = _brace_end_line(source, m.end() - 1)
+        owner = next(
+            (q for (_, q, cs, ce) in classes if cs <= s_line <= ce), None
+        )
+        qname = f"{owner}.{mname}" if owner else (f"{module}.{mname}" if module else mname)
+        rows.append(dict(file_path=file_path, kind="method", name=qname,
+                         short_name=mname,
+                         signature=f"{mname}({m.group(2).strip()})",
+                         start_line=s_line, end_line=e_line, doc_string=""))
+    return rows
+
+
+def parse_java_entities(file_path: str, source: str) -> list[dict]:
+    """E5: Java classes/interfaces/enums + their methods
+    (language_factory.py:212-231 pattern family)."""
+    pkg = _JAVA_PACKAGE_RE.search(source or "")
+    module = pkg.group(1) if pkg else ""
+    return _parse_braced_entities(file_path, source, module,
+                                  _JAVA_CLASS_RE, _JAVA_METHOD_RE)
+
+
+def parse_cpp_entities(file_path: str, source: str) -> list[dict]:
+    """E6: C++ classes/structs + functions
+    (language_factory.py:243-262 pattern family). Module = path-derived."""
+    module = _module_of(_re.sub(r"\.(cpp|cc|cxx|hpp|hxx|h)$", "", file_path) + ".py")
+    return _parse_braced_entities(file_path, source, module,
+                                  _CPP_CLASS_RE, _CPP_FUNC_RE)
+
+
+_CPP_EXTS = (".cpp", ".cc", ".cxx", ".hpp", ".hxx", ".h")
+
+
+def parse_source_entities(file_path: str, source: str) -> list[dict]:
+    """Language dispatch by extension: .py → AST (E1–E3), .java → E5,
+    C/C++ → E6; anything else contributes file/directory rows only."""
+    p = (file_path or "").lower()
+    if p.endswith(".py"):
+        return parse_python_entities(file_path, source)
+    if p.endswith(".java"):
+        return parse_java_entities(file_path, source)
+    if p.endswith(_CPP_EXTS):
+        return parse_cpp_entities(file_path, source)
+    return []
+
+
 def extract_entities(files: DataFrame, path_col: str = "file_path", src_col: str = "source") -> DataFrame:
-    """E1–E4 over a (file_path, source) DataFrame → entity rows via
-    mapInPandas (one file in, many entities out)."""
+    """E1–E6 over a (file_path, source) DataFrame → entity rows via
+    mapInPandas (one file in, many entities out); language by extension."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["file_path", "kind", "name", "short_name", "signature",
@@ -360,7 +472,7 @@ def extract_entities(files: DataFrame, path_col: str = "file_path", src_col: str
         for pdf in batches:
             rows: list[dict] = []
             for path, src in zip(pdf[path_col], pdf[src_col]):
-                rows.extend(parse_python_entities(path or "", src or ""))
+                rows.extend(parse_source_entities(path or "", src or ""))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=ENTITY_ROW_SCHEMA)

@@ -106,3 +106,68 @@ def test_extract_snippet_refs_spark(spark):
     refs = {(r["ref_type"], r["ref_name"]) for r in extract_snippet_refs(pages).collect()}
     assert ("import", "json") in refs
     assert ("call", "json.dumps") in refs
+
+
+def test_parse_java_entities():
+    """E5: classes/interfaces + methods with package-qualified names and
+    brace-matched spans (reference language_factory.py:212-231 fidelity)."""
+    java = (
+        "package com.example.engine;\n\n"
+        "public class Scheduler {\n"
+        "    public void runCycle(int ticks) throws Exception {\n"
+        "        for (int i = 0; i < ticks; i++) { tick(i); }\n"
+        "    }\n"
+        "}\n\n"
+        "interface Runner {\n    void start();\n}\n"
+    )
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    rows = {r["name"]: r for r in parse_java_entities("com/example/engine/Scheduler.java", java)}
+    assert rows["com.example.engine.Scheduler"]["kind"] == "class"
+    assert rows["com.example.engine.Runner"]["kind"] == "class"
+    m = rows["com.example.engine.Scheduler.runCycle"]
+    assert m["kind"] == "method" and m["signature"] == "runCycle(int ticks)"
+    assert m["start_line"] == 4 and m["end_line"] == 6
+    # the for-loop header must NOT become a method
+    assert not any(r["short_name"] == "for" for r in rows.values())
+
+
+def test_parse_cpp_entities():
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    cpp = (
+        "class TokenStream {\n"
+        "public:\n"
+        "    int emitToken(int id) {\n"
+        "        return id + 1;\n"
+        "    }\n"
+        "};\n\n"
+        "int freeHelper(int v) {\n"
+        "    return v * 2;\n"
+        "}\n"
+    )
+    rows = {r["short_name"]: r for r in parse_cpp_entities("engine/token_stream.cpp", cpp)}
+    assert rows["TokenStream"]["kind"] == "class"
+    assert rows["emitToken"]["name"] == "engine.token_stream.TokenStream.emitToken"
+    assert rows["freeHelper"]["kind"] == "method"
+    assert not any(k in rows for k in ("if", "for", "while", "return"))
+
+
+def test_inventory_from_mixed_language_sources(spark):
+    """Language dispatch: one inventory from .py + .java + .cpp files."""
+    from kgcompass_spark.functions.code_entities import inventory_from_sources
+
+    files = spark.createDataFrame(
+        [
+            ("pkg/mod.py", "class A:\n    def run(self):\n        return 1\n"),
+            ("com/ex/B.java", "package com.ex;\npublic class B {\n    public int go() {\n        return 2;\n    }\n}\n"),
+            ("core/c.cpp", "struct C {\n    int f(int x) {\n        return x;\n    }\n};\n"),
+        ],
+        "file_path string, source string",
+    )
+    ents = {r["entity_id"] for r in inventory_from_sources(files).collect()}
+    assert "class:pkg.mod.A@pkg/mod.py" in ents
+    assert "class:com.ex.B@com/ex/B.java" in ents
+    assert "method:com.ex.B.go@com/ex/B.java" in ents
+    assert "class:core.c.C@core/c.cpp" in ents
+    assert "file:com/ex/B.java" in ents
