@@ -81,3 +81,50 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
             F.lit("en").alias("lang"),
         )
     raise ValueError(f"unsupported pages format: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# S9 — git history as a commits table. The reference walks a live checkout
+# with gitpython (fl.py:2430-2440 repo.iter_commits + commit.stats.files);
+# the batch engine consumes the REPO-EXPORTED log instead: the standard
+# ``git log --pretty=format:%H|%ct|%s --numstat`` text — no git binary or
+# checkout at query time, exactly one export per repo crawl.
+# ---------------------------------------------------------------------------
+
+def git_log_to_commits(log_text: str) -> list[dict]:
+    """Parse ``git log --pretty=format:'%H|%ct|%s' --numstat`` output into
+    the context-stage commits schema (commit_id, message, committed_ts,
+    changed_files, changed_spans). Spans are unknown from numstat — emitted
+    empty; the span link stage simply produces no method↔commit edges."""
+    from datetime import datetime, timezone
+
+    commits: list[dict] = []
+    cur = None
+    for line in (log_text or "").splitlines():
+        line = line.rstrip("\n")
+        parts = line.split("|", 2)
+        if len(parts) == 3 and len(parts[0]) in (40, 64) and parts[1].isdigit():
+            if cur is not None:
+                commits.append(cur)
+            cur = dict(
+                commit_id=parts[0],
+                message=parts[2],
+                committed_ts=datetime.fromtimestamp(int(parts[1]), tz=timezone.utc),
+                changed_files=[],
+                changed_spans=[],
+            )
+        elif cur is not None and "\t" in line:
+            cols = line.split("\t")
+            if len(cols) == 3:
+                cur["changed_files"].append(cols[2])
+    if cur is not None:
+        commits.append(cur)
+    return commits
+
+
+def commits_from_git_log(spark: SparkSession, log_text: str) -> DataFrame:
+    """S9 connector: git-log text → commits DataFrame for the context
+    stages (driver-side parse — one log per repo, KBs not TBs)."""
+    from .datagen import COMMITS_SCHEMA
+
+    return spark.createDataFrame(git_log_to_commits(log_text), schema=COMMITS_SCHEMA)

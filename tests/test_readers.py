@@ -51,3 +51,36 @@ def test_read_binary(spark, tmp_path):
     assert df.columns == PAGES_COLS
     row = df.first()
     assert b"hi there" in bytes(row["html"])
+
+
+def test_git_log_to_commits(spark):
+    """S9: git log --numstat text -> commits table feeding the context
+    stages (no git binary at query time)."""
+    from kgcompass_spark.sources.readers import commits_from_git_log
+
+    sha_a, sha_b = "a" * 40, "b" * 40
+    log = (
+        f"{sha_a}|1588291200|Fix crash in parser when tokens overflow\n"
+        "12\t3\talphacore/parser.py\n"
+        "1\t0\tdocs/guide.md\n"
+        f"\n{sha_b}|1588377600|Bump changelog for release\n"
+        "2\t2\tCHANGELOG.md\n"
+    )
+    df = commits_from_git_log(spark, log)
+    rows = {r.commit_id: r for r in df.collect()}
+    assert set(rows) == {sha_a, sha_b}
+    assert rows[sha_a].changed_files == ["alphacore/parser.py", "docs/guide.md"]
+    assert rows[sha_a].message.startswith("Fix crash")
+    assert rows[sha_b].changed_files == ["CHANGELOG.md"]
+    # feeds straight into the commit-context stage
+    from kgcompass_spark.operators.context import link_commit_context
+
+    issues = spark.createDataFrame(
+        [("u1", rows[sha_a].committed_ts, "crash in alphacore/parser.py when tokens overflow")],
+        "url string, warc_ts timestamp, clean_text string",
+    )
+    triples = link_commit_context(issues, df)
+    preds = {(r.subj, r.predicate, r.obj) for r in triples.collect()}
+    assert ("issue:u1", "points to commit", f"commit:{sha_a}") in preds
+    # the maintenance 'Bump changelog' commit is filtered
+    assert not any(o == f"commit:{sha_b}" for _, _, o in preds)
