@@ -176,6 +176,64 @@ def bounded_sssp_multi(
     return best
 
 
+def seeded_support(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Evidence support over ALL shortest paths (export Cypher semantics,
+    export_kg_evidence_graph.py:230-241): per (root, target) — the min HOP
+    distance, and support = number of DISTINCT FIRST-HOP SEEDS that reach
+    the target at that distance. A single-best-path SSSP cannot compute
+    this (it keeps one path, so support degenerates to 1); here BFS state
+    is keyed by (root, seed, node) with min-hops semantics, then the seeds
+    are counted at the per-(root, node) min distance.
+
+    State size is |roots| × |seeds per root| × |reachable| — seeds are the
+    root's direct links (bounded by the linker caps), so this is the
+    bounded multi-path state the full path-enumeration would not have.
+    Returns (root, node, distance, support).
+    """
+    e = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    hop1 = (
+        roots.join(e, roots["root"] == e["src"])
+        .select("root", F.col("dst").alias("seed"))
+        .distinct()
+        .select("root", "seed", F.col("seed").alias("node"), F.lit(1).alias("hops"))
+    )
+    best = hop1.localCheckpoint(eager=True)
+    frontier = best
+    for h in range(2, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("root", "seed", F.col("dst").alias("node"), F.lit(h).alias("hops"))
+        )
+        merged = best.unionByName(nxt)
+        new_best = (
+            merged.groupBy("root", "seed", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_best.join(
+            best.select("root", "seed", "node", F.col("hops").alias("_oh")),
+            ["root", "seed", "node"],
+            "left",
+        ).filter(F.col("_oh").isNull() | (F.col("hops") < F.col("_oh"))).drop("_oh")
+        frontier = changed.localCheckpoint(eager=True)
+        best = new_best
+        if frontier.isEmpty():
+            break
+    dist = best.groupBy("root", "node").agg(F.min("hops").alias("distance"))
+    return (
+        best.join(dist, ["root", "node"])
+        .filter(F.col("hops") == F.col("distance"))
+        .groupBy("root", "node", "distance")
+        .agg(F.countDistinct("seed").alias("support"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

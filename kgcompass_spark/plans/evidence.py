@@ -14,9 +14,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SEARCH_SPACE
-from ..operators.graph import bounded_sssp
+from ..operators.graph import bounded_sssp, seeded_support
 from ..operators.ranking import evidence_support, node_type_from_id, per_type_topk, rank_evidence
 from ..operators.triples import with_reverse_edges
+
+
+def _evidence_edges(triples: DataFrame) -> DataFrame:
+    """Symmetric closure with the reference's path filters: no Directory
+    hops, no test methods (export_kg_evidence_graph.py:230-233)."""
+    return with_reverse_edges(triples).filter(
+        ~F.col("subj").startswith("directory:")
+        & ~F.col("obj").startswith("directory:")
+        & ~F.col("obj").contains("test_")
+    )
 
 
 def evidence_export(
@@ -30,17 +40,24 @@ def evidence_export(
     Returns (node, entity_type, distance, support, rank, type_rank,
     best_path). Matches the reference's ordering contract: support desc,
     distance asc, anchor desc, node asc (export_kg_evidence_graph.py:269-273)
-    with the per-type SEARCH_SPACE cap (345-346).
+    with the per-type SEARCH_SPACE cap (345-346). Support counts DISTINCT
+    first-hop seeds over ALL min-hop paths (seeded_support — the Cypher
+    collects every shortest path; a single-best-path SSSP would degenerate
+    support to 1); best_path comes from the single-path SSSP.
     """
-    # symmetric closure; path filters mirror the reference:
-    # no Directory hops, no test methods (export_kg_evidence_graph.py:230-233)
-    edges = with_reverse_edges(triples).filter(
-        ~F.col("subj").startswith("directory:")
-        & ~F.col("obj").startswith("directory:")
-        & ~F.col("obj").contains("test_")
+    edges = _evidence_edges(triples)
+    spark = triples.sparkSession
+    roots = spark.createDataFrame([(root,)], "root string")
+    support = (
+        seeded_support(edges, roots, max_hops=max_hops)
+        .drop("root")
+        .filter(F.col("node") != root)
     )
     paths = bounded_sssp(edges, root, max_hops=max_hops)
-    support = evidence_support(paths).filter(F.col("node") != root)
+    best_paths = paths.filter(F.size("path") > 0).select(
+        "node", F.col("path").alias("best_path")
+    )
+    support = support.join(best_paths, "node", "left")
     # anchor = 1-hop targets (direct file/entity mentions of the root)
     anchors = paths.filter(F.col("hops") == 1).select(
         "node", F.lit(True).alias("anchor")
@@ -55,4 +72,37 @@ def evidence_export(
     ).select(
         "node", "entity_type", "distance", "support", "anchor",
         "rank", "type_rank", "best_path",
+    )
+
+
+def evidence_export_all(
+    triples: DataFrame,
+    roots: DataFrame,
+    max_hops: int = 4,
+    cap: int = SEARCH_SPACE,
+) -> DataFrame:
+    """Batched evidence export: (root, node, entity_type, distance,
+    support, anchor, type_rank) for EVERY root in one job — true multi-path
+    support via seeded_support; path structs are not carried (use
+    evidence_export for per-root path details)."""
+    edges = _evidence_edges(triples)
+    support = seeded_support(edges, roots, max_hops=max_hops).filter(
+        F.col("node") != F.col("root")
+    )
+    anchors = support.filter(F.col("distance") == 1).select(
+        "root", "node", F.lit(True).alias("anchor")
+    )
+    df = support.join(anchors, ["root", "node"], "left").withColumn(
+        "anchor", F.coalesce(F.col("anchor"), F.lit(False))
+    )
+    typed = df.withColumn("entity_type", node_type_from_id(F.col("node")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("root", "entity_type").orderBy(
+        F.desc("support"), F.asc("distance"), F.desc("anchor"), F.asc("node")
+    )
+    return (
+        typed.withColumn("type_rank", F.row_number().over(w))
+        .filter(F.col("type_rank") <= cap)
+        .select("root", "node", "entity_type", "distance", "support", "anchor", "type_rank")
     )

@@ -79,3 +79,53 @@ def test_prefl_histograms(spark):
     # ([commit:c1, file:b, m.b] → tail "file", "m.b")
     kinds = {r.node_kind: r.cnt for r in path_type_histogram(preds, gt_e).collect()}
     assert kinds == {"m.a": 1, "file": 1, "m.b": 1}
+
+
+def test_seeded_support_counts_distinct_seeds(spark):
+    """A target reachable at equal min-hops through TWO first-hop seeds has
+    support 2 (the single-best-path SSSP would report 1)."""
+    from kgcompass_spark.operators.graph import seeded_support
+
+    edges = spark.createDataFrame(
+        [
+            ("root1", "r", "s1", 0.5, ""),
+            ("root1", "r", "s2", 0.5, ""),
+            ("s1", "r", "t", 0.5, ""),
+            ("s2", "r", "t", 0.5, ""),
+            ("s1", "r", "u", 0.5, ""),
+        ],
+        TRIPLE,
+    )
+    roots = spark.createDataFrame([("root1",)], "root string")
+    out = {(r.node, r.distance, r.support) for r in seeded_support(edges, roots, max_hops=3).collect()}
+    assert ("t", 2, 2) in out   # two seeds reach t at hops 2
+    assert ("u", 2, 1) in out   # only s1 reaches u
+    assert ("s1", 1, 1) in out and ("s2", 1, 1) in out
+
+
+def test_evidence_export_all_matches_per_root(spark):
+    """Batched export agrees with the single-root export on
+    (node, distance, support, anchor) for each root."""
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.plans.evidence import evidence_export, evidence_export_all
+    from kgcompass_spark.sources.datagen import CUTOFF, corpus_dataframes
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=30)
+    out = build_kg(pages, entities, cutoff=CUTOFF)
+    triples = out["triples"].localCheckpoint(eager=True)
+    urls = [
+        "issue:https://tracker.example.org/project/issues/0",
+        "issue:https://tracker.example.org/project/issues/2",
+    ]
+    roots = spark.createDataFrame([(u,) for u in urls], "root string")
+    batched = {
+        (r.root, r.node, r.distance, r.support, r.anchor)
+        for r in evidence_export_all(triples, roots, max_hops=2).collect()
+    }
+    single = set()
+    for u in urls:
+        for r in evidence_export(triples, u, max_hops=2).collect():
+            single.add((u, r.node, r.distance, r.support, bool(r.anchor)))
+    assert batched == single and batched
+    # and support is not universally degenerate
+    assert any(s > 1 for _, _, _, s, _ in batched)
