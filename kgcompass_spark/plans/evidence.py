@@ -34,6 +34,8 @@ def evidence_export(
     root: str,
     max_hops: int = 4,
     cap: int = SEARCH_SPACE,
+    entities: DataFrame | None = None,
+    issue_text: str | None = None,
 ) -> DataFrame:
     """Ranked related-entity export for one root issue node.
 
@@ -64,7 +66,7 @@ def evidence_export(
     )
     ranked = rank_evidence(support, anchors)
     typed = ranked.withColumn("entity_type", node_type_from_id(F.col("node")))
-    return per_type_topk(
+    out = per_type_topk(
         typed,
         type_col="entity_type",
         order_cols=[F.desc("support"), F.asc("distance"), F.desc("anchor"), F.asc("node")],
@@ -73,6 +75,18 @@ def evidence_export(
         "node", "entity_type", "distance", "support", "anchor",
         "rank", "type_rank", "best_path",
     )
+    if entities is not None and issue_text is not None:
+        # final T4 10-component rerank over the capped export records —
+        # the reference reranks the exported set with issue anchor terms
+        # (export_kg_evidence_graph.py:163-194 _rerank_records)
+        from ..operators.ranking import rank_evidence_full
+
+        out = rank_evidence_full(out.drop("rank"), entities, issue_text).select(
+            "node", "entity_type", "distance", "support", "anchor",
+            "rank", "type_rank", "best_path",
+            "n_exact", "n_path_tok", "n_tok", "boilerplate",
+        )
+    return out
 
 
 def evidence_export_all(

@@ -98,3 +98,27 @@ def test_evidence_export_ranks_mentions_first(spark):
     # determinism: second run identical
     again = ranked.collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_evidence_export_full_rerank(spark):
+    """With entities + issue text supplied, the export reranks with the
+    T4 10-key: the candidate named in the issue's backticks outranks
+    same-(support, distance, anchor) peers."""
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=30)
+    out = build_kg(pages, entities, cutoff=CUTOFF)
+    root = "issue:https://tracker.example.org/project/issues/0"
+    from kgcompass_spark.sources.datagen import _make_page
+
+    issue_text = _make_page(0)[2]
+    ranked = evidence_export(
+        out["triples"], root, max_hops=2, entities=entities, issue_text=issue_text
+    ).orderBy("rank").collect()
+    assert ranked and ranked[0].rank == 1
+    assert "n_exact" in ranked[0].asDict()
+    # the top row must have at least as many exact anchor matches as any row
+    assert ranked[0].n_exact == max(r.n_exact for r in ranked)
+    # deterministic
+    again = evidence_export(
+        out["triples"], root, max_hops=2, entities=entities, issue_text=issue_text
+    ).orderBy("rank").collect()
+    assert [r.node for r in ranked] == [r.node for r in again]
