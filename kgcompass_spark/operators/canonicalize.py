@@ -35,9 +35,10 @@ def natural_key(entities: DataFrame) -> DataFrame:
 def canonical_mapping(entities: DataFrame) -> DataFrame:
     """(entity_id, canonical_id) via CC over the entity↔key bipartite graph.
 
-    Single-spelling entities map to themselves. The CC runs large-star/
-    small-star (two shuffles per round, O(log² n) rounds) — the scale path
-    for 10^9-entity inventories; at small scale it converges in 1-2 rounds.
+    Single-spelling entities map to themselves. The CC runs delta-frontier
+    min-label propagation with double pointer jumping (a few shuffles per
+    round, O(log n) rounds on path-shaped graphs) — the scale path for
+    10^9-entity inventories; at small scale it converges in 1-2 rounds.
     """
     nk = natural_key(entities)
     edges = nk.select(

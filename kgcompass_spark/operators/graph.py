@@ -5,8 +5,8 @@
                             (knowledge_graph.py:1054-1138 semantics)
   G6    pagerank          — root-seeded power iteration (α=0.85)
                             (knowledge_graph.py:1288-1345)
-  G8    connected_components — alternating large-star/small-star
-                            (GraphFrames-style), the canonicalization CC
+  G8    connected_components — delta-frontier min-label propagation with
+                            double pointer jumping, the canonicalization CC
                             required at web scale (north_rule)
 
 Iteration hygiene (SURVEY.md §4.2): every loop ``localCheckpoint``s each
@@ -176,10 +176,19 @@ def bounded_sssp_multi(
     return best
 
 
+# low separator byte: joining node ids with it makes string comparison of
+# the keys equal element-wise comparison of the node sequences (the Cypher
+# orders candidate paths by the node list, export_kg_evidence_graph.py:244)
+_PATH_SEP = "\x01"
+
+
 def seeded_support(
     edges: DataFrame,
     roots: DataFrame,
     max_hops: int = 4,
+    path_k: int | None = None,
+    frontier_cap: int | None = SIMILARITY_CANDIDATE_CAP,
+    hop1_expand_excludes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Evidence support over ALL shortest paths (export Cypher semantics,
     export_kg_evidence_graph.py:230-241): per (root, target) — the min HOP
@@ -189,33 +198,152 @@ def seeded_support(
     is keyed by (root, seed, node) with min-hops semantics, then the seeds
     are counted at the per-(root, node) min distance.
 
-    State size is |roots| × |seeds per root| × |reachable| — seeds are the
-    root's direct links (bounded by the linker caps), so this is the
-    bounded multi-path state the full path-enumeration would not have.
-    Returns (root, node, distance, support).
+    ``path_k``: when set, each (root, seed, node) row additionally carries
+    up to ``path_k`` lexicographically-smallest min-hop paths (by node
+    sequence — the Cypher's best-path ordering), and the output gains a
+    ``paths`` column: the ``path_k`` smallest min-hop paths ACROSS seeds,
+    array<array<struct<predicate,node>>>. Because every prefix of a
+    shortest path is itself a shortest path to its intermediate (BFS
+    property), the global lexicographic-min path is exact for any
+    ``path_k`` >= 1; entries beyond the per-seed cap are best-effort.
+    Parallel edges between a node pair are collapsed to the min predicate.
+
+    ``frontier_cap``: per-(root, seed) per-round width cap (row_number,
+    deterministic by node id) — the same bound ``bounded_sssp`` applies,
+    mirroring the reference's 10,000-candidate cap
+    (knowledge_graph.py:1177). Without it, state is
+    |roots| × |seeds| × |reachable| with no brake on a dense KG.
+
+    ``hop1_expand_excludes``: node kinds that may be 1-hop TARGETS but
+    never expand to hop 2 — the export Cypher's first-intermediate
+    constraint (position ``a`` in export_kg_evidence_graph.py:205-226
+    admits File/Class/Issue/Commit/Experience/Documentation but NOT
+    Method). The per-seed keying makes this position-exact: a method
+    reached at hop >= 2 under another seed still expands (positions ``b``
+    and ``c`` admit Method).
+
+    Returns (root, node, distance, support[, paths]).
     """
-    e = edges.select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    ).distinct().localCheckpoint(eager=True)
-    hop1 = (
-        roots.join(e, roots["root"] == e["src"])
-        .select("root", F.col("dst").alias("seed"))
-        .distinct()
-        .select("root", "seed", F.col("seed").alias("node"), F.lit(1).alias("hops"))
-    )
-    best = hop1.localCheckpoint(eager=True)
-    frontier = best
-    for h in range(2, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select("root", "seed", F.col("dst").alias("node"), F.lit(h).alias("hops"))
-        )
-        merged = best.unionByName(nxt)
-        new_best = (
-            merged.groupBy("root", "seed", "node")
-            .agg(F.min("hops").alias("hops"))
+    carry = path_k is not None
+    if carry:
+        e = (
+            edges.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .agg(F.min("predicate").alias("predicate"))
             .localCheckpoint(eager=True)
         )
+    else:
+        e = edges.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).distinct().localCheckpoint(eager=True)
+    hop1 = roots.join(e, roots["root"] == e["src"])
+    if carry:
+        # (root, dst) is unique after the (src, dst) predicate collapse
+        hop1 = hop1.select(
+            "root",
+            F.col("dst").alias("seed"),
+            F.col("dst").alias("node"),
+            F.lit(1).alias("hops"),
+            F.array(
+                F.struct(
+                    F.col("dst").alias("k"),
+                    F.array(
+                        F.struct(
+                            F.col("predicate").alias("predicate"),
+                            F.col("dst").alias("node"),
+                        )
+                    ).alias("p"),
+                )
+            ).alias("paths"),
+        )
+    else:
+        hop1 = (
+            hop1.select("root", F.col("dst").alias("seed"))
+            .distinct()
+            .select(
+                "root", "seed", F.col("seed").alias("node"), F.lit(1).alias("hops")
+            )
+        )
+    best = hop1.localCheckpoint(eager=True)
+    frontier = best
+    if hop1_expand_excludes:
+        frontier = frontier.filter(
+            ~F.split(F.col("node"), ":", 2)[0].isin(*hop1_expand_excludes)
+        )
+    for h in range(2, max_hops + 1):
+        fr = frontier
+        if frontier_cap is not None:
+            wf = Window.partitionBy("root", "seed").orderBy(F.asc("node"))
+            fr = (
+                fr.withColumn("_rn", F.row_number().over(wf))
+                .filter(F.col("_rn") <= frontier_cap)
+                .drop("_rn")
+            )
+        nxt_cols = [
+            "root",
+            "seed",
+            F.col("dst").alias("node"),
+            F.lit(h).alias("hops"),
+        ]
+        if carry:
+            nxt_cols.append(
+                F.transform(
+                    F.col("paths"),
+                    lambda pr: F.struct(
+                        F.concat(pr["k"], F.lit(_PATH_SEP), F.col("dst")).alias("k"),
+                        F.concat(
+                            pr["p"],
+                            F.array(
+                                F.struct(
+                                    F.col("predicate").alias("predicate"),
+                                    F.col("dst").alias("node"),
+                                )
+                            ),
+                        ).alias("p"),
+                    ),
+                ).alias("paths")
+            )
+        nxt = fr.join(e, fr["node"] == e["src"]).select(*nxt_cols)
+        merged = best.unionByName(nxt)
+        if carry:
+            # one shuffle: gather this key's (hops, paths) rows, then keep
+            # the min-hop ones and the path_k smallest paths — unit-hop BFS
+            # discovers ALL min-hop paths in the discovery round, so the
+            # per-round merge is the complete min-hop set
+            g = merged.groupBy("root", "seed", "node").agg(
+                F.collect_list(F.struct("hops", "paths")).alias("_l")
+            )
+            g = g.withColumn(
+                "_minh", F.array_min(F.transform(F.col("_l"), lambda x: x["hops"]))
+            )
+            new_best = g.select(
+                "root",
+                "seed",
+                "node",
+                F.col("_minh").alias("hops"),
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(
+                                F.transform(
+                                    F.filter(
+                                        F.col("_l"),
+                                        lambda x: x["hops"] == F.col("_minh"),
+                                    ),
+                                    lambda x: x["paths"],
+                                )
+                            )
+                        )
+                    ),
+                    1,
+                    path_k,
+                ).alias("paths"),
+            ).localCheckpoint(eager=True)
+        else:
+            new_best = (
+                merged.groupBy("root", "seed", "node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
         changed = new_best.join(
             best.select("root", "seed", "node", F.col("hops").alias("_oh")),
             ["root", "seed", "node"],
@@ -226,11 +354,27 @@ def seeded_support(
         if frontier.isEmpty():
             break
     dist = best.groupBy("root", "node").agg(F.min("hops").alias("distance"))
-    return (
-        best.join(dist, ["root", "node"])
-        .filter(F.col("hops") == F.col("distance"))
-        .groupBy("root", "node", "distance")
-        .agg(F.countDistinct("seed").alias("support"))
+    at_min = best.join(dist, ["root", "node"]).filter(
+        F.col("hops") == F.col("distance")
+    )
+    if not carry:
+        return at_min.groupBy("root", "node", "distance").agg(
+            F.countDistinct("seed").alias("support")
+        )
+    agg = at_min.groupBy("root", "node", "distance").agg(
+        F.countDistinct("seed").alias("support"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("paths")))),
+            1,
+            path_k,
+        ).alias("_ps"),
+    )
+    return agg.select(
+        "root",
+        "node",
+        "distance",
+        "support",
+        F.transform(F.col("_ps"), lambda s: s["p"]).alias("paths"),
     )
 
 

@@ -52,12 +52,21 @@ def evidence_support(paths: DataFrame) -> DataFrame:
 def rank_evidence(
     support: DataFrame,
     anchors: DataFrame | None = None,
+    precap: int | None = None,
 ) -> DataFrame:
     """T4-style deterministic ordering: support desc, distance asc,
     anchor desc, node asc (export_kg_evidence_graph.py:269-273).
 
     ``anchors``: optional (node, anchor boolean) — e.g. 1-hop file matches.
+    ``precap``: bound the candidate set with orderBy+limit (TakeOrdered —
+    per-partition top-k, never a global sort) BEFORE the rank window, the
+    reference's 10,000-candidate cap (knowledge_graph.py:1177). Defaults to
+    ``SIMILARITY_CANDIDATE_CAP``; pass None only for provably-small inputs
+    — the window below is partition-less and would single-task-sort an
+    uncapped input at scale.
     """
+    if precap is None:
+        precap = SIMILARITY_CANDIDATE_CAP
     df = support
     if anchors is not None:
         df = df.join(anchors, "node", "left").withColumn(
@@ -65,17 +74,14 @@ def rank_evidence(
         )
     else:
         df = df.withColumn("anchor", F.lit(False))
-    return df.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(
-                F.desc("support"),
-                F.asc("distance"),
-                F.desc("anchor"),
-                F.asc("node"),
-            )
-        ),
-    )
+    order = [
+        F.desc("support"),
+        F.asc("distance"),
+        F.desc("anchor"),
+        F.asc("node"),
+    ]
+    df = df.orderBy(*order).limit(precap)
+    return df.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 # Export-rerank stopwords (export_kg_evidence_graph.py:40-80 _STOPWORDS)
@@ -152,9 +158,14 @@ def _candidate_lexical_terms(*cols) -> F.Column:
     from ..functions.cleaning import split_identifier
 
     stop = F.array(*[F.lit(s) for s in sorted(RERANK_STOPWORDS)])
-    return F.array_except(
-        F.array_distinct(split_identifier(F.concat_ws(" ", *cols))), stop
-    )
+    # normalize ALL non-alphanumerics to spaces first so both sides tokenize
+    # identically: the issue side (_split_identifier_py) splits on
+    # [^A-Za-z0-9]+ like the reference's _split_identifier, while P7
+    # split_identifier only handles [_.-/] — without this, signature text
+    # like 'parse_json(self, value)' yields 'json(self,' and undercounts
+    # n_tok (rerank component 3)
+    text = F.regexp_replace(F.concat_ws(" ", *cols), r"[^A-Za-z0-9]+", " ")
+    return F.array_except(F.array_distinct(split_identifier(text)), stop)
 
 
 def _is_boilerplate(name: F.Column, file_path: F.Column) -> F.Column:
@@ -192,42 +203,63 @@ def rank_evidence_full(
     exact_terms, lexical_terms = issue_anchor_terms(issue_text)
     exact_lit = F.array(*[F.lit(t) for t in exact_terms]) if exact_terms else F.array().cast("array<string>")
     lex_lit = F.array(*[F.lit(t) for t in lexical_terms]) if lexical_terms else F.array().cast("array<string>")
-
-    meta = entities.select(
-        F.col("entity_id").alias("node"),
-        "name", "signature", "file_path", "start_line",
-    )
-    df = support.join(F.broadcast(meta), "node", "left")
-    if "anchor" not in df.columns:
-        df = df.withColumn("anchor", F.lit(False))
-    best_path_text = (
-        F.col("best_path").cast("string") if "best_path" in df.columns else F.lit("")
-    )
-    cand_fields = [
-        F.coalesce(F.col("name"), F.lit("")),
-        F.coalesce(F.col("signature"), F.lit("")),
-        F.coalesce(F.col("file_path"), F.lit("")),
-        best_path_text,
-    ]
-    from ..functions.cleaning import split_identifier
-
-    df = (
-        df.withColumn(
-            "n_exact", F.size(F.array_intersect(exact_lit, _candidate_exact_terms(*cand_fields)))
-        )
-        .withColumn(
-            "n_path_tok",
-            F.size(F.array_intersect(lex_lit, F.array_distinct(split_identifier(F.coalesce(F.col("file_path"), F.lit("")))))),
-        )
-        .withColumn(
-            "n_tok", F.size(F.array_intersect(lex_lit, _candidate_lexical_terms(*cand_fields)))
-        )
-        .withColumn("boilerplate", _is_boilerplate(F.col("name"), F.col("file_path")))
-    )
+    df = _join_rerank_meta(support, entities)
+    df = _with_rerank_counts(df, exact_lit, lex_lit)
     # global window is intentional: this ranks the FINAL export candidate
-    # set (≤ SEARCH_SPACE per type, knowledge_graph.py:1177 cap) — bounded
-    # rows, not the full KG
-    w = Window.orderBy(
+    # set (≤ SIMILARITY_CANDIDATE_CAP rows, the caller's TakeOrdered bound
+    # mirroring knowledge_graph.py:1177) — bounded rows, not the full KG
+    w = Window.orderBy(*_rerank_order())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rank_evidence_full_all(
+    support: DataFrame,
+    entities: DataFrame | None,
+    issue_texts: DataFrame,
+) -> DataFrame:
+    """Batched T4 rerank: ``rank_evidence_full`` for EVERY root in one job.
+
+    ``support`` carries a ``root`` column ('issue:<url>'); ``issue_texts``
+    is (url, text). Per-root exact/lexical anchor-term arrays come from ONE
+    Arrow-batched pandas UDF over the (small) roots table — the identical
+    Python term extraction the single-root plan runs driver-side — then all
+    counting is JVM-side array intersections, and the rank window is
+    partitioned by root (per-root sorts distribute across executors).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # type hints, so signature inference can't see Iterator/pd here
+    def _terms_fn(batches):
+        for texts in batches:
+            pairs = [issue_anchor_terms(t or "") for t in texts]
+            yield pd.DataFrame(
+                {"exact": [p[0] for p in pairs], "lex": [p[1] for p in pairs]}
+            )
+
+    _terms = pandas_udf(
+        _terms_fn, "exact array<string>, lex array<string>", PandasUDFType.SCALAR_ITER
+    )
+
+    terms = issue_texts.select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("root"),
+        _terms(F.col("text")).alias("_t"),
+    ).select("root", F.col("_t.exact").alias("_exact"), F.col("_t.lex").alias("_lex"))
+    df = _join_rerank_meta(support, entities).join(terms, "root", "left")
+    empty = F.array().cast("array<string>")
+    df = _with_rerank_counts(
+        df, F.coalesce(F.col("_exact"), empty), F.coalesce(F.col("_lex"), empty)
+    ).drop("_exact", "_lex")
+    w = Window.partitionBy("root").orderBy(*_rerank_order())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def _rerank_order() -> list:
+    """The 10-component lexicographic key (export_kg_evidence_graph.py
+    :182-193 ranking_key) + node id as a pure determinism guard. Built
+    lazily — Columns need an active SparkContext."""
+    return [
         F.desc("n_exact"),
         F.desc("n_path_tok"),
         F.desc("n_tok"),
@@ -238,8 +270,66 @@ def rank_evidence_full(
         F.asc(F.coalesce(F.col("file_path"), F.lit(""))),
         F.asc(F.coalesce(F.col("start_line"), F.lit(0))),
         F.asc(F.coalesce(F.col("name"), F.lit(""))),
+        F.asc(F.col("node")),
+    ]
+
+
+def _join_rerank_meta(support: DataFrame, entities: DataFrame | None) -> DataFrame:
+    """Attach (name, signature, file_path, start_line) unless the caller
+    already carries them (the export plan pre-joins meta for its target
+    filters)."""
+    df = support
+    if entities is not None and "name" not in df.columns:
+        meta = entities.select(
+            F.col("entity_id").alias("node"),
+            "name", "signature", "file_path", "start_line",
+        )
+        df = df.join(F.broadcast(meta), "node", "left")
+    for col, typ in (("name", "string"), ("signature", "string"),
+                     ("file_path", "string"), ("start_line", "int")):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+    if "anchor" not in df.columns:
+        df = df.withColumn("anchor", F.lit(False))
+    return df
+
+
+def _with_rerank_counts(df: DataFrame, exact_col, lex_col) -> DataFrame:
+    """n_exact / n_path_tok / n_tok / boilerplate — rerank components 1-3, 7
+    (export_kg_evidence_graph.py:163-194), as JVM array intersections."""
+    from ..functions.cleaning import split_identifier
+
+    best_path_text = (
+        F.col("best_path").cast("string") if "best_path" in df.columns else F.lit("")
     )
-    return df.withColumn("rank", F.row_number().over(w))
+    cand_fields = [
+        F.coalesce(F.col("name"), F.lit("")),
+        F.coalesce(F.col("signature"), F.lit("")),
+        F.coalesce(F.col("file_path"), F.lit("")),
+        best_path_text,
+    ]
+    return (
+        df.withColumn(
+            "n_exact",
+            F.size(F.array_intersect(exact_col, _candidate_exact_terms(*cand_fields))),
+        )
+        .withColumn(
+            "n_path_tok",
+            F.size(
+                F.array_intersect(
+                    lex_col,
+                    F.array_distinct(
+                        split_identifier(F.coalesce(F.col("file_path"), F.lit("")))
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "n_tok",
+            F.size(F.array_intersect(lex_col, _candidate_lexical_terms(*cand_fields))),
+        )
+        .withColumn("boilerplate", _is_boilerplate(F.col("name"), F.col("file_path")))
+    )
 
 
 def per_type_topk(

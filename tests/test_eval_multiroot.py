@@ -104,8 +104,9 @@ def test_seeded_support_counts_distinct_seeds(spark):
 
 
 def test_evidence_export_all_matches_per_root(spark):
-    """Batched export agrees with the single-root export on
-    (node, distance, support, anchor) for each root."""
+    """Batched export agrees with the single-root export — including the
+    T4 10-key rank columns and best_path — for each root (round-2 verdict
+    item 4: batched/per-root parity)."""
     from kgcompass_spark.pipeline import build_kg
     from kgcompass_spark.plans.evidence import evidence_export, evidence_export_all
     from kgcompass_spark.sources.datagen import CUTOFF, corpus_dataframes
@@ -118,14 +119,37 @@ def test_evidence_export_all_matches_per_root(spark):
         "issue:https://tracker.example.org/project/issues/2",
     ]
     roots = spark.createDataFrame([(u,) for u in urls], "root string")
+    issue_texts = pages.select("url", "text")
+    texts = {
+        "issue:" + r.url: r.text
+        for r in issue_texts.collect()
+        if "issue:" + r.url in urls
+    }
+
+    def key(root, r):
+        return (
+            root, r.node, r.distance, r.support, bool(r.anchor),
+            r.rank, r.type_rank, r.n_exact, r.n_path_tok, r.n_tok,
+            str(r.best_path),
+        )
+
     batched = {
-        (r.root, r.node, r.distance, r.support, r.anchor)
-        for r in evidence_export_all(triples, roots, max_hops=2).collect()
+        key(r.root, r)
+        for r in evidence_export_all(
+            triples, roots, max_hops=2, entities=entities,
+            issue_texts=issue_texts, path_k=4,
+        ).collect()
     }
     single = set()
     for u in urls:
-        for r in evidence_export(triples, u, max_hops=2).collect():
-            single.add((u, r.node, r.distance, r.support, bool(r.anchor)))
+        for r in evidence_export(
+            triples, u, max_hops=2, entities=entities,
+            issue_text=texts[u], path_k=4,
+        ).collect():
+            single.add(key(u, r))
     assert batched == single and batched
     # and support is not universally degenerate
-    assert any(s > 1 for _, _, _, s, _ in batched)
+    assert any(t[3] > 1 for t in batched)
+    # plain (no-rerank) batched mode still runs and is bounded
+    plain = evidence_export_all(triples, roots, max_hops=2).collect()
+    assert plain and all(r.type_rank >= 1 for r in plain)

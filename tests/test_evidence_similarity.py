@@ -100,6 +100,58 @@ def test_evidence_export_ranks_mentions_first(spark):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_evidence_export_label_and_filter_fidelity(spark):
+    """Round-3 fidelity pins (round-2 verdict items 3 & 5, done-criteria):
+
+    - targets restricted to Method|Class (export Cypher :201);
+    - a ``latest_value`` method is excluded ('latest' contains 'test' —
+      the reference's token, lowercased, target-only) while a
+      ``pytest_helper`` method survives the pytest allowlist;
+    - a Method never expands as the FIRST intermediate (position ``a`` of
+      the Cypher UNION) but does at positions b/c;
+    - a 2-hop candidate whose path crosses its own File node gets
+      anchor=true (the File-on-path half of anchor_match, :241).
+    """
+    from kgcompass_spark.config import STRONG_CONNECTION
+
+    rows = [
+        ("issue:R", "points to file", "file:src/mod.py"),
+        ("file:src/mod.py", "contains method in file", "method:latest_value@src/mod.py"),
+        ("file:src/mod.py", "contains method in file", "method:pytest_helper@src/mod.py"),
+        ("file:src/mod.py", "contains method in file", "method:compute@src/mod.py"),
+        # 1-hop method target that must NOT expand (first intermediate)
+        ("issue:R", "points to method", "method:direct@src/other.py"),
+        ("method:direct@src/other.py", "calls method", "method:far@src/other.py"),
+        # method at position b DOES expand: root→file→method→method
+        ("issue:R", "points to file", "file:b.py"),
+        ("file:b.py", "contains method in file", "method:mid@b.py"),
+        ("method:mid@b.py", "calls method", "method:deep3@c.py"),
+    ]
+    triples = spark.createDataFrame(
+        [(s, p, o, STRONG_CONNECTION, "") for s, p, o in rows],
+        "subj string, predicate string, obj string, weight double, src_url string",
+    )
+    from kgcompass_spark.plans.evidence import evidence_export
+
+    out = {r.node: r for r in evidence_export(triples, "issue:R", max_hops=3).collect()}
+    assert "method:latest_value@src/mod.py" not in out          # 'latest' ⊃ 'test'
+    assert "method:pytest_helper@src/mod.py" in out             # pytest allowlist
+    assert "method:far@src/other.py" not in out                 # a ≠ Method
+    assert "method:deep3@c.py" in out                           # b may be Method
+    assert all(not n.startswith("file:") for n in out)          # targets: method|class
+    direct = out["method:direct@src/other.py"]
+    assert direct.distance == 1 and direct.anchor
+    comp = out["method:compute@src/mod.py"]
+    assert comp.distance == 2 and comp.anchor                   # File-on-path anchor
+    deep = out["method:deep3@c.py"]
+    assert deep.distance == 3 and not deep.anchor
+    # best_path / path_details shapes: node sequence of the best path
+    assert [x["node"] for x in comp.best_path] == [
+        "file:src/mod.py", "method:compute@src/mod.py"
+    ]
+    assert comp.path_details and comp.path_details[0][0]["entity_type"] == "file"
+
+
 def test_evidence_export_full_rerank(spark):
     """With entities + issue text supplied, the export reranks with the
     T4 10-key: the candidate named in the issue's backticks outranks
