@@ -172,6 +172,11 @@ MENTION_EXCLUDE_PATTERNS = frozenset({
 # Spark-side knobs (ours, not the reference's)
 # ---------------------------------------------------------------------------
 DEFAULT_SHUFFLE_PARTITIONS = 32
+# Bound on Levenshtein operands in the (root × node) pair table — the
+# reference runs apoc over full source_code per pair; at 10^12 pages an
+# unbounded O(len²) per pair is a scale-killer, and similarity beyond the
+# first ~2k chars is noise for ranking (deviation, documented)
+MAX_SIMILARITY_TEXT_CHARS = 2000
 SKEW_SALT_BUCKETS = 8          # salting factor for hot mention tokens
 MINHASH_NUM_HASHES = 32
 MINHASH_BANDS = 8              # 8 bands x 4 rows

@@ -163,16 +163,25 @@ def bounded_sssp_multi(
             ["root", "node"],
             "left",
         ).filter(F.col("_oc").isNull() | (F.col("cost") < F.col("_oc"))).drop("_oc")
-        wc = Window.partitionBy("root").orderBy(F.asc("cost"), F.asc("node"))
-        frontier = (
-            changed.withColumn("_rn", F.row_number().over(wc))
-            .filter(F.col("_rn") <= frontier_cap)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
+        changed = changed.localCheckpoint(eager=True)
         best = new_best
-        if frontier.isEmpty():
+        # count on the materialized delta is ~free; the per-root row_number
+        # window (a sort of the whole delta) only runs when some root can
+        # actually exceed the cap — on most rounds the frontier is far
+        # below it and the sort would be pure overhead
+        n_changed = changed.count()
+        if n_changed == 0:
             break
+        if n_changed > frontier_cap:
+            wc = Window.partitionBy("root").orderBy(F.asc("cost"), F.asc("node"))
+            frontier = (
+                changed.withColumn("_rn", F.row_number().over(wc))
+                .filter(F.col("_rn") <= frontier_cap)
+                .drop("_rn")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            frontier = changed
     return best
 
 
@@ -269,9 +278,13 @@ def seeded_support(
         frontier = frontier.filter(
             ~F.split(F.col("node"), ":", 2)[0].isin(*hop1_expand_excludes)
         )
+    n_front = frontier.count()
     for h in range(2, max_hops + 1):
         fr = frontier
-        if frontier_cap is not None:
+        # the per-(root, seed) cap window sorts the whole frontier — apply
+        # it only when some seed could exceed the cap (frontier is already
+        # materialized, so the count is ~free)
+        if frontier_cap is not None and n_front > frontier_cap:
             wf = Window.partitionBy("root", "seed").orderBy(F.asc("node"))
             fr = (
                 fr.withColumn("_rn", F.row_number().over(wf))
@@ -351,7 +364,8 @@ def seeded_support(
         ).filter(F.col("_oh").isNull() | (F.col("hops") < F.col("_oh"))).drop("_oh")
         frontier = changed.localCheckpoint(eager=True)
         best = new_best
-        if frontier.isEmpty():
+        n_front = frontier.count()
+        if n_front == 0:
             break
     dist = best.groupBy("root", "node").agg(F.min("hops").alias("distance"))
     at_min = best.join(dist, ["root", "node"]).filter(
@@ -467,6 +481,57 @@ def connected_components(
         if changed.isEmpty():
             break
     return parent.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def candidate_graph_rank(
+    edges: DataFrame,
+    root: str,
+    alpha: float = 0.85,
+    iters: int = 24,
+) -> DataFrame:
+    """The reference's unsupervised graph-rank blend
+    (knowledge_graph.py:1289-1345 ``_compute_unsupervised_graph_rank_scores``):
+    power iteration over the CANDIDATE-PATH subgraph (directed consecutive
+    pairs of every candidate's path node sequence), rank₀ = 1 at root else
+    0, per iteration rank = (1-α) + α·Σ rank(src)/outdeg(src), normalized
+    by max (A7). The input is bounded by the candidate cap (≤ cap ×
+    max_hops edges), so the per-iteration shuffles are small.
+
+    Returns (node, score) with score in [0, 1].
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") == root, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    for i in range(iters):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - alpha)
+                + alpha * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 6 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    mx = ranks.agg(F.max("rank")).first()[0] or 1.0
+    return ranks.select("node", (F.col("rank") / F.lit(mx)).alias("score"))
 
 
 def pagerank(

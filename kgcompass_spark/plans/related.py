@@ -24,7 +24,11 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import SIMILARITY_CANDIDATE_CAP, STRONG_CONNECTION
+from ..config import (
+    MAX_SIMILARITY_TEXT_CHARS,
+    SIMILARITY_CANDIDATE_CAP,
+    STRONG_CONNECTION,
+)
 from ..functions.similarity import (
     cosine_similarity,
     issue_score,
@@ -129,7 +133,12 @@ def ranked_related_all(
     )
     df = df.join(rt, "root")
     cos = cosine_similarity(F.col("_nemb"), F.col("_remb"))
-    lev = levenshtein_similarity(F.col("_rtext"), F.col("_ntext"))
+    # truncated operands: the pair table is |roots| × |reachable| and
+    # Levenshtein is O(len²) per pair — unbounded text is a 100× scale-killer
+    lev = levenshtein_similarity(
+        F.substring(F.col("_rtext"), 1, MAX_SIMILARITY_TEXT_CHARS),
+        F.substring(F.col("_ntext"), 1, MAX_SIMILARITY_TEXT_CHARS),
+    )
     base = F.when(
         F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
     ).otherwise(mixed_score(cos, lev, F.col("cost")))
@@ -167,12 +176,23 @@ def ranked_related_entities(
     limit: int = 500,
     identifier_boost_weight: float = 0.0,
     evidence_path_boost_weight: float = 0.0,
+    unsup_gnn_mode: str | None = None,
+    unsup_gnn_weight: float | None = None,
 ) -> DataFrame:
     """Returns (node, entity_type, similarity, distance, hops, type_rank),
     deterministic. ``issue_texts``: (url, text) for issue-node similarity
     (the reference embeds title+content; entity nodes use signature +
     docstring as the source-code proxy — our inventory carries no bodies).
+
+    ``unsup_gnn_mode``/``unsup_gnn_weight``: the reference's optional
+    root-seeded graph-rank blend (knowledge_graph.py:1216-1228). None reads
+    the env gates ``KGCOMPASS_SPARK_UNSUP_GNN_MODE`` (default "off" — the
+    reference's default) and ``KGCOMPASS_SPARK_UNSUP_GNN_WEIGHT`` (default
+    0.18). When mode ∈ {pagerank, unsup, gnn}: a ``graph_score`` column is
+    added (candidate-path-subgraph PageRank, max-normalized) and, if the
+    weight is > 0, ``similarity += weight × graph_score``.
     """
+    import os
     from ..functions.embedding import embed_text_udf, encode_one
 
     root = f"issue:{root_url}"
@@ -228,7 +248,10 @@ def ranked_related_entities(
     root_vec = encode_one(root_text)
     root_emb = F.array(*[F.lit(float(x)) for x in root_vec])
     cos = cosine_similarity(embed_text_udf(F.col("_ntext")), root_emb)
-    lev = levenshtein_similarity(F.lit(root_text), F.col("_ntext"))
+    lev = levenshtein_similarity(
+        F.lit(root_text[:MAX_SIMILARITY_TEXT_CHARS]),
+        F.substring(F.col("_ntext"), 1, MAX_SIMILARITY_TEXT_CHARS),
+    )
     base = F.when(
         F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
     ).otherwise(mixed_score(cos, lev, F.col("cost")))
@@ -261,9 +284,45 @@ def ranked_related_entities(
         F.lit(float(evidence_path_boost_weight)),
     ).otherwise(F.lit(0.0))
 
-    scored = df.withColumn(
-        "similarity", base + identifier_boost + evidence_boost
-    ).select("node", "entity_type", "similarity", F.col("cost").alias("distance"), "hops")
+    scored = df.withColumn("similarity", base + identifier_boost + evidence_boost)
+
+    if unsup_gnn_mode is None:
+        unsup_gnn_mode = os.getenv("KGCOMPASS_SPARK_UNSUP_GNN_MODE", "off").lower()
+    if unsup_gnn_weight is None:
+        unsup_gnn_weight = float(os.getenv("KGCOMPASS_SPARK_UNSUP_GNN_WEIGHT", "0.18"))
+    out_cols = ["node", "entity_type", "similarity", F.col("cost").alias("distance"), "hops"]
+    if unsup_gnn_mode in {"pagerank", "unsup", "gnn"}:
+        from ..operators.graph import candidate_graph_rank
+
+        # directed consecutive pairs of every candidate's path node
+        # sequence (root prepended) — the reference's adjacency build
+        ns = F.concat(F.array(F.lit(root)), F.transform("path", lambda x: x["node"]))
+        pair_edges = (
+            scored.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ns) - 2),
+                        lambda i: F.struct(
+                            F.element_at(ns, i + 1).alias("src"),
+                            F.element_at(ns, i + 2).alias("dst"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+        )
+        gr = candidate_graph_rank(pair_edges, root)
+        scored = scored.join(
+            gr.withColumnRenamed("score", "graph_score"), "node", "left"
+        ).withColumn("graph_score", F.coalesce(F.col("graph_score"), F.lit(0.0)))
+        if unsup_gnn_weight > 0:
+            scored = scored.withColumn(
+                "similarity",
+                F.col("similarity") + F.lit(float(unsup_gnn_weight)) * F.col("graph_score"),
+            )
+        out_cols.append("graph_score")
+    scored = scored.select(*out_cols)
 
     # candidate cap (knowledge_graph.py:1177): TakeOrdered, deterministic
     capped = scored.orderBy(

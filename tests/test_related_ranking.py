@@ -132,6 +132,34 @@ def test_ranked_related_all_matches_single_root(spark, small_kg):
     assert batched == single
 
 
+def test_unsup_gnn_blend(spark, small_kg):
+    """The reference's env-gated root-seeded graph-rank blend
+    (knowledge_graph.py:1216-1228): off by default (no graph_score column,
+    unchanged results); when on, every row gains graph_score ∈ [0, 1] with
+    max 1, and a zero weight leaves similarities untouched."""
+    triples, ents, root_url, root_text = small_kg
+    off = ranked_related_entities(triples, ents, root_url, root_text, max_cost=3.0)
+    assert "graph_score" not in off.columns
+    on = ranked_related_entities(
+        triples, ents, root_url, root_text, max_cost=3.0,
+        unsup_gnn_mode="pagerank", unsup_gnn_weight=0.18,
+    )
+    rows = on.collect()
+    assert "graph_score" in on.columns and rows
+    assert all(0.0 <= r.graph_score <= 1.0 + 1e-9 for r in rows)
+    # weight 0: same similarities as off-mode, but graph_score present
+    zero = ranked_related_entities(
+        triples, ents, root_url, root_text, max_cost=3.0,
+        unsup_gnn_mode="pagerank", unsup_gnn_weight=0.0,
+    )
+    base = {r.node: r.similarity for r in off.collect()}
+    assert {r.node: r.similarity for r in zero.collect()} == base
+    # weight > 0 adds weight × graph_score exactly
+    blended = {r.node: (r.similarity, r.graph_score) for r in rows}
+    for node, (sim, gs) in blended.items():
+        assert sim == pytest.approx(base[node] + 0.18 * gs, rel=1e-6)
+
+
 def test_rank_evidence_full_breaks_fourkey_ties(spark):
     """Two candidates identical on (support, distance, anchor) — the old
     4-key cannot order them; the 10-key must put the exact-anchor match
