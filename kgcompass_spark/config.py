@@ -57,6 +57,16 @@ BOILERPLATE_DOC_NAMES = frozenset({
     "issue_template", "pull_request_template",
 })
 
+# Language source extensions admitted by the commit-context file filter
+# (fl.py:2436-2449 source_files; per-repo `file_extensions` in the
+# reference's language configs, language_factory.py:166-178 — here the
+# union of the three supported languages, corpus-wide). Empty tuple
+# disables the extension filter, matching the reference's
+# `not current_lang_extensions or ...` fallback.
+CONTEXT_SOURCE_EXTENSIONS = (
+    ".py", ".java", ".cpp", ".cc", ".cxx", ".hpp", ".h", ".hxx",
+)
+
 # Java-regex forms of the reference's commit-message classifiers
 # (fl.py:106-115 MAINTENANCE_COMMIT_RE, fl.py:116-123 REPAIR_EXPERIENCE_RE)
 MAINTENANCE_COMMIT_REGEX = (

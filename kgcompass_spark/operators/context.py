@@ -38,9 +38,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import (
+    BOILERPLATE_DOC_NAMES,
     COMMIT_CONTEXT_LIMIT,
     COMMIT_CONTEXT_MAX_FILES,
     COMMIT_LINK_FILES_CAP,
+    CONTEXT_SOURCE_EXTENSIONS,
     CONTEXT_STOPWORDS,
     DOC_CONTEXT_LIMIT,
     DOC_CONTEXT_MULTIPLIER,
@@ -59,7 +61,8 @@ _DOTTED_SYMBOL = r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+$"
 
 # commits schema: (commit_id, message, committed_ts, changed_files
 #                  array<string>, changed_spans array<struct<file_path,
-#                  start_line, end_line>>)
+#                  start_line, end_line>>[, n_parents int — merge filter
+#                  applied only when present])
 # docs schema:    (doc_path, text)
 # issues schema:  (url, warc_ts, clean_text) — the prepared pages
 
@@ -118,6 +121,54 @@ def _first_lines(col, n: int) -> F.Column:
     return F.array_join(F.slice(F.split(col, "\n"), 1, n), "\n")
 
 
+_BOILER_COMPONENT_RE = "/(?:%s)/" % "|".join(sorted(BOILERPLATE_DOC_NAMES))
+
+
+def source_files_col(col) -> F.Column:
+    """fl.py:2436-2449 ``source_files``: changed paths minus boilerplate doc
+    paths (stem OR any interior path component in BOILERPLATE_DOC_NAMES,
+    fl.py:253-259) and minus non-language extensions
+    (CONTEXT_SOURCE_EXTENSIONS). The nonprod-path exclusion is env-gated OFF
+    by default in the reference (FL_SCAN_EXCLUDE_NONPROD_CONTEXT,
+    fl.py:261-263) and omitted here. Pure Catalyst — one array filter."""
+
+    def keep(p):
+        low = F.replace(F.lower(p), F.lit("\\"), F.lit("/"))
+        base = F.element_at(F.split(low, "/"), -1)
+        stem = F.regexp_replace(base, r"\.[^.]*$", "")
+        boiler = stem.isin(*sorted(BOILERPLATE_DOC_NAMES)) | low.rlike(
+            _BOILER_COMPONENT_RE
+        )
+        ext_ok = F.lit(len(CONTEXT_SOURCE_EXTENSIONS) == 0)
+        for e in CONTEXT_SOURCE_EXTENSIONS:
+            ext_ok = ext_ok | p.endswith(e)
+        return ~boiler & ext_ok
+
+    return F.filter(col, keep)
+
+
+def eligible_commits(
+    commits: DataFrame, max_files: int = COMMIT_CONTEXT_MAX_FILES
+) -> DataFrame:
+    """Commit-context eligibility (fl.py:2437-2461): single-parent commits
+    only (merge/root commits skipped — applied when the commits table
+    carries ``n_parents``), non-maintenance first message line, at most
+    ``max_files`` RAW changed files, and a non-empty filtered
+    ``source_files`` list (added as a column — scoring and edge emission
+    both use the filtered list, not the raw one)."""
+    out = commits
+    if "n_parents" in commits.columns:
+        out = out.filter(F.col("n_parents") == 1)
+    return (
+        out.filter(
+            ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
+            & (F.size("changed_files") <= max_files)
+        )
+        .withColumn("source_files", source_files_col(F.col("changed_files")))
+        .filter(F.size("source_files") > 0)
+    )
+
+
 def commit_context_scores(
     issues: DataFrame | None,
     commits: DataFrame,
@@ -126,14 +177,11 @@ def commit_context_scores(
 ) -> DataFrame:
     """Shared (issue, commit) scoring for the commit AND repair-experience
     stages: (url, warc_ts, commit_id, score, committed_ts), leakage-guarded,
-    score > 0, over non-maintenance commits with 1..max_files files. Both
-    stages filter/rank this one result — scoring runs once."""
-    eligible = commits.filter(
-        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
-        & (F.size("changed_files") > 0)
-        & (F.size("changed_files") <= max_files)
-    )
-    score_text = F.concat_ws("\n", F.col("message"), F.array_join("changed_files", "\n"))
+    score > 0, over eligible commits (see ``eligible_commits``). Score text
+    is message + the FILTERED source list (fl.py:2462). Both stages
+    filter/rank this one result — scoring runs once."""
+    eligible = eligible_commits(commits, max_files)
+    score_text = F.concat_ws("\n", F.col("message"), F.array_join("source_files", "\n"))
     scored = score_artifacts(
         issues, eligible.withColumn("_st", score_text), "commit_id", F.col("_st"),
         issue_tokens=issue_tokens,
@@ -158,19 +206,17 @@ def link_commit_context(
 ) -> DataFrame:
     """Historical-commit context (fl.py:2412-2500).
 
-    Per issue: eligible commits (pre-issue ts, non-maintenance first line,
-    1..max_files changed files) scored by context tokens against
-    message+file-list; top ``limit`` by (-score, -ts, commit_id) linked as
-    'points to commit' (NORMAL). Every selected commit also emits
-    'modified file' (NORMAL) edges for its first ``link_files_cap`` files.
-    Tie-break beyond the reference's (-score, -committed_date): commit_id
-    asc, so output is deterministic.
+    Per issue: eligible commits (pre-issue ts, single-parent,
+    non-maintenance first line, ≤max_files RAW changed files, non-empty
+    filtered source list) scored by context tokens against
+    message+source-file-list; top ``limit`` by (-score, -ts, commit_id)
+    linked as 'points to commit' (NORMAL). Every selected commit also emits
+    'modified file' (NORMAL) edges for its first ``link_files_cap``
+    SOURCE files (fl.py:2488-2492 re-filters inside the emit loop — doc /
+    non-language paths never get edges). Tie-break beyond the reference's
+    (-score, -committed_date): commit_id asc, so output is deterministic.
     """
-    eligible = commits.filter(
-        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
-        & (F.size("changed_files") > 0)
-        & (F.size("changed_files") <= max_files)
-    )
+    eligible = eligible_commits(commits, max_files)
     if scored is None:
         scored = commit_context_scores(issues, commits, max_files, issue_tokens)
     w = Window.partitionBy("url").orderBy(
@@ -191,10 +237,10 @@ def link_commit_context(
     commit_file = (
         selected.select("commit_id")
         .distinct()
-        .join(F.broadcast(eligible.select("commit_id", "changed_files")), "commit_id")
+        .join(F.broadcast(eligible.select("commit_id", "source_files")), "commit_id")
         .select(
             "commit_id",
-            F.explode(F.slice("changed_files", 1, link_files_cap)).alias("fp"),
+            F.explode(F.slice("source_files", 1, link_files_cap)).alias("fp"),
         )
         .select(
             F.concat(F.lit("commit:"), F.col("commit_id")).alias("subj"),
@@ -253,11 +299,13 @@ def link_repair_experience(
 ) -> DataFrame:
     """Historical repair-experience context (fl.py:2317-2410).
 
-    Repair commits = non-maintenance + repair keywords in the first 3
-    message lines + ≤ max_files changed files. Scored like commit context
-    but gated at score ≥ min_score; top ``limit`` per issue. Links:
+    Repair commits = eligible (single-parent, non-maintenance, ≤ max_files
+    RAW changed files, non-empty filtered source list) + repair keywords in
+    the first 3 message lines. Scored like commit context but gated at
+    score ≥ min_score; top ``limit`` per issue. Links:
     issue -[points to repair experience]-> repair:<sha> (STRONG),
-    repair:<sha> -[mentions file]-> file (NORMAL).
+    repair:<sha> -[mentions file]-> file (NORMAL) over the first
+    ``max_files`` SOURCE files (fl.py:2399-2410 re-filters in the loop).
 
     ``scored`` may be the shared ``commit_context_scores`` result (repair
     commits are a subset of commit-context-eligible ones, and the score is
@@ -265,11 +313,8 @@ def link_repair_experience(
     """
     from ..config import REPAIR_EXPERIENCE_REGEX
 
-    repair = commits.filter(
-        ~_first_lines(F.col("message"), 1).rlike(MAINTENANCE_COMMIT_REGEX)
-        & _first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX)
-        & (F.size("changed_files") > 0)
-        & (F.size("changed_files") <= max_files)
+    repair = eligible_commits(commits, max_files).filter(
+        _first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX)
     )
     if scored is None:
         scored = commit_context_scores(issues, commits, issue_tokens=issue_tokens)
@@ -294,8 +339,8 @@ def link_repair_experience(
     exp_file = (
         selected.select("commit_id")
         .distinct()
-        .join(F.broadcast(repair.select("commit_id", "changed_files")), "commit_id")
-        .select("commit_id", F.explode("changed_files").alias("fp"))
+        .join(F.broadcast(repair.select("commit_id", "source_files")), "commit_id")
+        .select("commit_id", F.explode(F.slice("source_files", 1, max_files)).alias("fp"))
         .select(
             F.concat(F.lit("repair:"), F.col("commit_id")).alias("subj"),
             F.lit("mentions file").alias("predicate"),
@@ -374,13 +419,6 @@ def link_documentation(
     doc_id = F.concat(
         F.lit("doc:"), F.col("url"), F.lit(":"), F.substring(F.sha1("doc_path"), 1, 12)
     )
-    issue_doc = selected.select(
-        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
-        F.lit("points to documentation").alias("predicate"),
-        doc_id.alias("obj"),
-        F.lit(NORMAL_CONNECTION).alias("weight"),
-        F.col("url").alias("src_url"),
-    )
     # resolve symbols once per doc (docs are few), then fan out per issue
     symbols = docs.select(
         "doc_path", F.explode(doc_symbols(F.col("text"))).alias("sym")
@@ -388,6 +426,19 @@ def link_documentation(
     named = entities.select("entity_id", "kind", "file_path", F.col("name").alias("_name"))
     resolved = symbols.join(F.broadcast(named), F.col("sym") == F.col("_name")).select(
         "doc_path", "entity_id", "kind", "file_path"
+    )
+    # the reference creates the Documentation node + issue→doc link only
+    # when at least one doc symbol resolved to a source file
+    # (fl.py:2306-2311 ``if not linked_files: continue``) — a selected doc
+    # with zero resolutions still consumes a top-N slot but emits nothing
+    issue_doc = selected.join(
+        F.broadcast(resolved.select("doc_path").distinct()), "doc_path", "left_semi"
+    ).select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+        F.lit("points to documentation").alias("predicate"),
+        doc_id.alias("obj"),
+        F.lit(NORMAL_CONNECTION).alias("weight"),
+        F.col("url").alias("src_url"),
     )
     sel_resolved = selected.join(resolved, "doc_path")
     doc_file = (

@@ -359,7 +359,14 @@ def _context_tokens_py(text: str) -> set[str]:
 def _mk_commits(n_commits: int = 48) -> list[dict]:
     """Deterministic commit history over the inventory: per k —
     maintenance (k%4==3, excluded by both stages), repair (k%4==1,
-    feeds the experience stage), feature (otherwise, commit stage only)."""
+    feeds the experience stage), feature (otherwise, commit stage only).
+
+    File-filter fixtures (fl.py:2436-2461 semantics the operators must
+    honor): k%8==4 commits are merges (n_parents=2 → skipped entirely);
+    k%12==6 commits touch ONLY a doc file (empty source list → skipped);
+    k%5==0 commits also touch CHANGELOG.md (non-language extension — never
+    scored or linked); k%7==3 commits also touch a path under /contributing/
+    (boilerplate component — never scored or linked)."""
     inv = _inventory()
     out = []
     for k in range(n_commits):
@@ -388,9 +395,22 @@ def _mk_commits(n_commits: int = 48) -> list[dict]:
             )
             spans = [dict(file_path=path, start_line=m["start_line"] + 1,
                           end_line=m["start_line"] + 4)]
+        files = [path]
+        if k % 12 == 6:
+            msg = (
+                f"Rewrite the user guide for the {cls['short_name']} parser\n\n"
+                f"Describes {m['name']} behavior in alphacore."
+            )
+            files, spans = ["docs/release_notes.md"], []
+        else:
+            if k % 5 == 0:
+                files = files + ["CHANGELOG.md"]
+            if k % 7 == 3:
+                files = files + ["tools/contributing/helper.py"]
         out.append(
             dict(commit_id=sha, message=msg, committed_ts=ts,
-                 changed_files=[path], changed_spans=spans)
+                 changed_files=files, changed_spans=spans,
+                 n_parents=2 if k % 8 == 4 else 1)
         )
     return out
 
@@ -417,11 +437,43 @@ def _mk_docs() -> list[dict]:
              text="Use `alphacore.parser.Parser` everywhere.\n"
                   "alphacore engine parser webstack crash failure handlers.")
     )
+    # scores > 0 for most issues and gets SELECTED, but its only symbol
+    # resolves to nothing — the reference then skips node+link creation
+    # (fl.py:2306-2311 'if not linked_files: continue')
+    out.append(
+        dict(doc_path="docs/roadmap_overview.md",
+             text="# roadmap\n\nalphacore engine parser processing input "
+                  "module overview.\nSee `vendor.missing.Widget` for "
+                  "planned work.\n")
+    )
+    return out
+
+
+def _source_files_py(files: list[str]) -> list[str]:
+    """Python mirror of operators.context.source_files_col (fl.py:2436-2449
+    source_files): drop boilerplate-doc paths (stem or interior component)
+    and non-language extensions, preserving order."""
+    from ..config import CONTEXT_SOURCE_EXTENSIONS
+
+    out = []
+    for p in files:
+        low = p.replace("\\", "/").lower()
+        base = low.rsplit("/", 1)[-1]
+        stem = _re.sub(r"\.[^.]*$", "", base)
+        if stem in BOILERPLATE_DOC_NAMES or any(
+            f"/{n}/" in low for n in BOILERPLATE_DOC_NAMES
+        ):
+            continue
+        if CONTEXT_SOURCE_EXTENSIONS and not any(
+            p.endswith(e) for e in CONTEXT_SOURCE_EXTENSIONS
+        ):
+            continue
+        out.append(p)
     return out
 
 
 def _commit_score_text(c: dict) -> str:
-    return c["message"] + "\n" + "\n".join(c["changed_files"])
+    return c["message"] + "\n" + "\n".join(_source_files_py(c["changed_files"]))
 
 
 def _doc_symbols_py(text: str) -> list[str]:
@@ -455,7 +507,9 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
             maintenance=bool(_MAINT_RE.search(first)),
             repair=bool(_REPAIR_RE.search(first3)),
             ts=c["committed_ts"],
-            files=c["changed_files"],
+            files=_source_files_py(c["changed_files"]),
+            raw_n=len(c["changed_files"]),
+            parents=c.get("n_parents", 1),
         )
     doc_meta = []
     for d in docs:
@@ -476,13 +530,14 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
         url, ts = page["url"], page["warc_ts"]
         toks = _context_tokens_py(extracted)
 
-        # commit context (fl.py:2412-2500)
+        # commit context (fl.py:2412-2500): single-parent, non-maintenance,
+        # raw file count ≤ max, filtered source list non-empty
         cands = []
         for c in commits:
             m = commit_meta[c["commit_id"]]
-            if m["ts"] > ts or m["maintenance"]:
+            if m["parents"] != 1 or m["ts"] > ts or m["maintenance"]:
                 continue
-            if not (0 < len(m["files"]) <= COMMIT_CONTEXT_MAX_FILES):
+            if m["raw_n"] > COMMIT_CONTEXT_MAX_FILES or not m["files"]:
                 continue
             s = len(toks & m["toks"])
             if s > 0:
@@ -498,9 +553,9 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
         rcands = []
         for c in commits:
             m = commit_meta[c["commit_id"]]
-            if m["ts"] > ts or m["maintenance"] or not m["repair"]:
+            if m["parents"] != 1 or m["ts"] > ts or m["maintenance"] or not m["repair"]:
                 continue
-            if not (0 < len(m["files"]) <= REPAIR_EXPERIENCE_MAX_FILES):
+            if m["raw_n"] > REPAIR_EXPERIENCE_MAX_FILES or not m["files"]:
                 continue
             s = len(toks & m["toks"])
             if s >= REPAIR_EXPERIENCE_MIN_SCORE:
@@ -521,15 +576,17 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
                 dcands.append((-s, dm["path"], dm))
         dcands.sort(key=lambda x: (x[0], x[1]))
         for _, _, dm in dcands[:DOC_CONTEXT_LIMIT]:
+            resolved = [e for e in map(ents_by_name.get, dm["symbols"]) if e]
+            if not resolved:
+                # selected but nothing resolves: no node, no links
+                # (fl.py:2306-2311) — the doc still consumed a top-N slot
+                continue
             doc_hash = hashlib.sha1(dm["path"].encode()).hexdigest()[:12]
             doc_id = f"doc:{url}:{doc_hash}"
             goldens.append(dict(subj=f"issue:{url}",
                                 predicate="points to documentation",
                                 obj=doc_id, weight=NORMAL_CONNECTION, src_url=url))
-            for sym in dm["symbols"]:
-                e = ents_by_name.get(sym)
-                if e is None:
-                    continue
+            for e in resolved:
                 goldens.append(dict(subj=doc_id,
                                     predicate="mentions file by documentation",
                                     obj=f"file:{e['file_path']}",
@@ -548,9 +605,9 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
             goldens.append(dict(subj=f"commit:{cid}", predicate="modified file",
                                 obj=f"file:{fp}", weight=NORMAL_CONNECTION,
                                 src_url=""))
-    # experience → file (fl.py:2397-2410)
+    # experience → file (fl.py:2397-2410, first max_files source paths)
     for cid in sorted(selected_repairs):
-        for fp in commit_meta[cid]["files"]:
+        for fp in commit_meta[cid]["files"][:REPAIR_EXPERIENCE_MAX_FILES]:
             goldens.append(dict(subj=f"repair:{cid}", predicate="mentions file",
                                 obj=f"file:{fp}", weight=NORMAL_CONNECTION,
                                 src_url=""))
@@ -571,7 +628,8 @@ def context_goldens(n_pages: int, commits: list[dict], docs: list[dict],
 COMMITS_SCHEMA = (
     "commit_id string, message string, committed_ts timestamp, "
     "changed_files array<string>, "
-    "changed_spans array<struct<file_path:string,start_line:int,end_line:int>>"
+    "changed_spans array<struct<file_path:string,start_line:int,end_line:int>>, "
+    "n_parents int"
 )
 DOCS_SCHEMA = "doc_path string, text string"
 

@@ -92,26 +92,44 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
 # ---------------------------------------------------------------------------
 
 def git_log_to_commits(log_text: str) -> list[dict]:
-    """Parse ``git log --pretty=format:'%H|%ct|%s' --numstat`` output into
-    the context-stage commits schema (commit_id, message, committed_ts,
-    changed_files, changed_spans). Spans are unknown from numstat — emitted
-    empty; the span link stage simply produces no method↔commit edges."""
+    """Parse ``git log --pretty=format:'%H|%ct|%P|%s' --numstat`` output
+    into the context-stage commits schema (commit_id, message,
+    committed_ts, changed_files, changed_spans, n_parents). The older
+    ``%H|%ct|%s`` form (no parent list) is also accepted — n_parents
+    defaults to 1, so the merge-commit filter (fl.py:2438) keeps
+    everything. Spans are unknown from numstat — emitted empty; the span
+    link stage simply produces no method↔commit edges."""
+    import re
     from datetime import datetime, timezone
 
     commits: list[dict] = []
     cur = None
     for line in (log_text or "").splitlines():
         line = line.rstrip("\n")
-        parts = line.split("|", 2)
-        if len(parts) == 3 and len(parts[0]) in (40, 64) and parts[1].isdigit():
+        parts = line.split("|", 3)
+        with_parents = (
+            len(parts) == 4
+            and len(parts[0]) in (40, 64)
+            and parts[1].isdigit()
+            and re.fullmatch(r"[0-9a-f]*(?: [0-9a-f]+)*", parts[2]) is not None
+        )
+        legacy = not with_parents and len(
+            p3 := line.split("|", 2)
+        ) == 3 and len(p3[0]) in (40, 64) and p3[1].isdigit()
+        if with_parents or legacy:
             if cur is not None:
                 commits.append(cur)
+            if with_parents:
+                n_parents, message = len(parts[2].split()), parts[3]
+            else:
+                parts, message, n_parents = p3, p3[2], 1
             cur = dict(
                 commit_id=parts[0],
-                message=parts[2],
+                message=message,
                 committed_ts=datetime.fromtimestamp(int(parts[1]), tz=timezone.utc),
                 changed_files=[],
                 changed_spans=[],
+                n_parents=n_parents,
             )
         elif cur is not None and "\t" in line:
             cols = line.split("\t")

@@ -142,3 +142,45 @@ def test_doc_multiplier_weight(spark, full_corpus, full_out):
     }
     assert 0.75 in weights, f"doc-context multiplier weight missing: {weights}"
     assert max(weights) <= 0.75
+
+
+def test_commit_source_file_filters(spark, full_corpus, full_out):
+    """fl.py:2437-2461 eligibility (round-3 ADVICE): merge commits and
+    commits whose FILTERED source list is empty are never linked, and
+    non-source / boilerplate-component paths never receive modified-file or
+    mentions-file edges even on selected commits."""
+    _, _, _, commits, _, _ = full_corpus
+    merges = {r.commit_id for r in commits.filter(F.col("n_parents") != 1).collect()}
+    doc_only = {
+        r.commit_id
+        for r in commits.filter(
+            F.col("changed_files") == F.array(F.lit("docs/release_notes.md"))
+        ).collect()
+    }
+    assert merges and doc_only, "fixture must carry merge and doc-only commits"
+    excluded = {f"commit:{c}" for c in merges | doc_only} | {
+        f"repair:{c}" for c in merges | doc_only
+    }
+    hits = full_out["triples"].filter(
+        F.col("predicate").isin("points to commit", "points to repair experience")
+        & F.col("obj").isin(*excluded)
+    )
+    assert hits.count() == 0
+    bad_files = full_out["triples"].filter(
+        F.col("predicate").isin("modified file", "mentions file")
+        & (
+            F.col("obj").isin("file:CHANGELOG.md", "file:docs/release_notes.md")
+            | F.col("obj").contains("/contributing/")
+        )
+    )
+    assert bad_files.count() == 0
+
+
+def test_unresolved_doc_not_linked(spark, full_corpus, full_out):
+    """A selected doc whose symbols resolve to nothing creates no
+    Documentation node and no issue->doc edge (fl.py:2306-2311)."""
+    import hashlib
+
+    h = hashlib.sha1(b"docs/roadmap_overview.md").hexdigest()[:12]
+    hits = full_out["triples"].filter(F.col("obj").endswith(":" + h)).count()
+    assert hits == 0

@@ -82,5 +82,34 @@ def test_git_log_to_commits(spark):
     triples = link_commit_context(issues, df)
     preds = {(r.subj, r.predicate, r.obj) for r in triples.collect()}
     assert ("issue:u1", "points to commit", f"commit:{sha_a}") in preds
+    # the non-source path never gets a modified-file edge (fl.py:2488-2492)
+    assert ("commit:" + sha_a, "modified file", "file:docs/guide.md") not in preds
+    assert ("commit:" + sha_a, "modified file", "file:alphacore/parser.py") in preds
     # the maintenance 'Bump changelog' commit is filtered
     assert not any(o == f"commit:{sha_b}" for _, _, o in preds)
+
+
+def test_git_log_parents_format(spark):
+    """S9 parents variant: %H|%ct|%P|%s carries the parent list; merge
+    commits (two parents) are excluded from the commit-context stage
+    (fl.py:2438 ``len(commit.parents) != 1``)."""
+    from kgcompass_spark.operators.context import eligible_commits
+    from kgcompass_spark.sources.readers import commits_from_git_log
+
+    sha_a, sha_b, sha_c = "a" * 40, "b" * 40, "c" * 40
+    log = (
+        f"{sha_a}|1588291200|{'0' * 40}|Fix crash in parser\n"
+        "12\t3\talphacore/parser.py\n"
+        f"\n{sha_b}|1588377600|{'0' * 40} {'1' * 40}|Merge branch feature | cleanup\n"
+        "2\t2\talphacore/engine.py\n"
+        f"\n{sha_c}|1588464000||Initial import\n"
+        "9\t0\talphacore/webstack.py\n"
+    )
+    df = commits_from_git_log(spark, log)
+    rows = {r.commit_id: r for r in df.collect()}
+    assert rows[sha_a].n_parents == 1
+    assert rows[sha_b].n_parents == 2
+    assert rows[sha_b].message == "Merge branch feature | cleanup"
+    assert rows[sha_c].n_parents == 0  # root commit
+    kept = {r.commit_id for r in eligible_commits(df).collect()}
+    assert kept == {sha_a}
