@@ -390,6 +390,70 @@ def _g2b_bfs_multi_root(spark, sf_dir):
     return out.select("root", "node", "hops")
 
 
+def _evidence_export_batched(spark, sf_dir):
+    """Batched evidence export (plans/evidence.evidence_export_all —
+    reference export_kg_evidence_graph.py:198-273) over a deterministic KG
+    derived from supplier/lineitem:
+
+        issue:<nation>  -points to file->           file:s<supplier>
+        file:s<supplier> -contains method in file-> method:<name>@s<home>
+
+    for each distinct (l_suppkey, l_partkey); ``home`` = the GLOBAL min
+    supplier of the part, so each method names exactly one file. With
+    max_hops=2 over the symmetric closure every method target sits at
+    distance 2; support = distinct first-hop seeds (the root nation's
+    supplier files that supply the part); and the anchor File-on-best-path
+    half is SQL-decidable: the lexicographically smallest min-hop path runs
+    through the nation's min supplier of the part, so anchor ⇔ that
+    supplier IS the global min (the method's own file). Name variants pin
+    the target-only 'test' exclusion + pytest allowlist in the oracle.
+    """
+    from kgcompass_spark.plans.evidence import evidence_export_all
+
+    pad_n = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    pad_s = lambda c: F.lpad(c.cast("string"), 6, "0")  # noqa: E731
+    pad_p = lambda c: F.lpad(c.cast("string"), 7, "0")  # noqa: E731
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    home = li.groupBy("l_partkey").agg(F.min("l_suppkey").alias("home"))
+    name = (
+        F.when(
+            F.col("l_partkey") % 26 == 0,
+            F.concat(F.lit("pytest_p"), pad_p(F.col("l_partkey"))),
+        )
+        .when(
+            F.col("l_partkey") % 13 == 0,
+            F.concat(F.lit("latest_p"), pad_p(F.col("l_partkey"))),
+        )
+        .otherwise(F.concat(F.lit("p"), pad_p(F.col("l_partkey"))))
+    )
+    e1 = sup.select(
+        F.concat(F.lit("issue:"), pad_n(F.col("s_nationkey"))).alias("subj"),
+        F.lit("points to file").alias("predicate"),
+        F.concat(F.lit("file:s"), pad_s(F.col("s_suppkey"))).alias("obj"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    e2 = li.join(home, "l_partkey").select(
+        F.concat(F.lit("file:s"), pad_s(F.col("l_suppkey"))).alias("subj"),
+        F.lit("contains method in file").alias("predicate"),
+        F.concat(
+            F.lit("method:"), name, F.lit("@s"), pad_s(F.col("home"))
+        ).alias("obj"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    roots = sup.select(
+        F.concat(F.lit("issue:"), pad_n(F.col("s_nationkey"))).alias("root")
+    ).distinct()
+    out = evidence_export_all(e1.unionByName(e2), roots, max_hops=2)
+    return out.select(
+        "root", "node", "entity_type", "name", "file_path", "distance",
+        "support", F.col("anchor").cast("boolean").alias("anchor"),
+        "rank", "type_rank",
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _minhash_near_dups(spark, sf_dir):
@@ -635,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_connected_components": _g8_connected_components,
         "g2_bfs_hops": _g2_bfs_hops,
         "g2b_bfs_multi_root": _g2b_bfs_multi_root,
+        "evidence_export_batched": _evidence_export_batched,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # rows-only
@@ -824,6 +889,54 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.hops < 2
             )
             SELECT root, node, min(hops) AS hops FROM bfs GROUP BY root, node
+        """,
+        "evidence_export_batched": """
+            WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            home AS (SELECT l_partkey, min(l_suppkey) AS home FROM pairs GROUP BY l_partkey),
+            named AS (
+              SELECT l_partkey, home,
+                     CASE WHEN l_partkey % 26 = 0
+                            THEN 'pytest_p' || lpad(CAST(l_partkey AS VARCHAR), 7, '0')
+                          WHEN l_partkey % 13 = 0
+                            THEN 'latest_p' || lpad(CAST(l_partkey AS VARCHAR), 7, '0')
+                          ELSE 'p' || lpad(CAST(l_partkey AS VARCHAR), 7, '0')
+                     END AS name
+              FROM home
+            ),
+            reach AS (
+              SELECT s.s_nationkey AS nk, p.l_partkey AS pk,
+                     count(DISTINCT p.l_suppkey) AS support,
+                     min(p.l_suppkey) AS minsup
+              FROM pairs p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT 'issue:' || lpad(CAST(r.nk AS VARCHAR), 2, '0') AS root,
+                     'method:' || n.name || '@s'
+                       || lpad(CAST(n.home AS VARCHAR), 6, '0') AS node,
+                     'method' AS entity_type,
+                     n.name AS name,
+                     's' || lpad(CAST(n.home AS VARCHAR), 6, '0') AS file_path,
+                     2 AS distance,
+                     r.support AS support,
+                     (r.minsup = n.home) AS anchor
+              FROM reach r JOIN named n ON n.l_partkey = r.pk
+              WHERE NOT contains(n.name, 'test') OR contains(n.name, 'pytest')
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY root
+                       ORDER BY support DESC, distance ASC, anchor DESC,
+                                file_path ASC, name ASC, node ASC
+                     ) AS rank
+              FROM cand
+            )
+            SELECT root, node, entity_type, name, file_path, distance,
+                   support, anchor, rank,
+                   row_number() OVER (PARTITION BY root, entity_type
+                                      ORDER BY rank) AS type_rank
+            FROM ranked
+            QUALIFY type_rank <= 50
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
