@@ -104,8 +104,14 @@ def score_artifacts(
     score = |issue tokens ∩ artifact tokens| (fl.py:247-251 restated).
 
     Artifact token index is broadcast — no shuffle on the issue side except
-    the final count aggregate. Pass ``issue_tokens`` (from
-    ``issue_token_rows``) to share one token pass across stages.
+    the final count aggregate, which map-side combines. The pair table this
+    join emits is only ~|shared tokens| rows per (issue, artifact) — an
+    alternative token → artifact-bitmask strategy (join ≤1 row per issue
+    token, then per-bit sums) was measured SLOWER at both 48k pages
+    (1.5 s vs 2.3 s) and 480k pages (5.5 s vs 6.7 s): the explosion factor
+    here is small and the extra mask-build jobs and wide aggregate don't
+    pay for themselves. Pass ``issue_tokens`` (from ``issue_token_rows``)
+    to share one token pass across stages.
     """
     if issue_tokens is None:
         issue_tokens = issue_token_rows(issues)
@@ -145,6 +151,16 @@ def source_files_col(col) -> F.Column:
         return ~boiler & ext_ok
 
     return F.filter(col, keep)
+
+
+def _share(df: DataFrame) -> DataFrame:
+    """Persist a small shared subtree (catalog-managed — ``clearCache``
+    frees it; NOT localCheckpoint, whose storage leaks across runs, see
+    ``context_triples``). Each stage's per-issue selection feeds 2-3 edge
+    branches; uncached, every branch re-runs the token-scoring join and the
+    top-N window — measured ~2 s per extra pass at 48k pages, ~8 s across
+    the three context stages."""
+    return df.persist()
 
 
 def eligible_commits(
@@ -222,7 +238,7 @@ def link_commit_context(
     w = Window.partitionBy("url").orderBy(
         F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
     )
-    selected = (
+    selected = _share(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)
         .select("url", "commit_id")
@@ -324,7 +340,7 @@ def link_repair_experience(
     w = Window.partitionBy("url").orderBy(
         F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
     )
-    selected = (
+    selected = _share(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)
         .select("url", "commit_id")
@@ -377,14 +393,17 @@ def doc_symbols(col) -> F.Column:
     )
 
 
-def link_documentation(
+def documentation_parts(
     issues: DataFrame | None,
     docs: DataFrame,
     entities: DataFrame,
     limit: int = DOC_CONTEXT_LIMIT,
     issue_tokens: DataFrame | None = None,
-) -> DataFrame:
-    """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass).
+) -> tuple[DataFrame, DataFrame]:
+    """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass),
+    returned as (passthrough, collidable) edge parts — see
+    ``context_triples_parts`` for the split rationale; ``link_documentation``
+    is the unioned public shape.
 
     Per issue: docs scored by context tokens against path+text, score > 0,
     top ``limit`` by (-score, doc_path). Each selected (issue, doc) becomes
@@ -411,7 +430,7 @@ def link_documentation(
         issue_tokens=issue_tokens,
     ).filter(F.col("score") > 0)
     w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("doc_path"))
-    selected = (
+    selected = _share(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)
         .select("url", "doc_path")
@@ -441,41 +460,72 @@ def link_documentation(
         F.col("url").alias("src_url"),
     )
     sel_resolved = selected.join(resolved, "doc_path")
-    doc_file = (
-        sel_resolved.select(
-            doc_id.alias("subj"),
-            F.lit("mentions file by documentation").alias("predicate"),
-            F.concat(F.lit("file:"), F.col("file_path")).alias("obj"),
-            F.lit(NORMAL_CONNECTION).alias("weight"),
-            F.lit("").alias("src_url"),
-        )
-        .distinct()
+    # dedup (doc, file) on the TINY resolved side before fanning out per
+    # issue: ``selected`` is unique per (url, doc_path), so the join output
+    # is already distinct — a post-join .distinct() here shuffled ~750k
+    # rows at bench density for nothing
+    doc_files = resolved.select("doc_path", "file_path").distinct()
+    doc_file = selected.join(F.broadcast(doc_files), "doc_path").select(
+        doc_id.alias("subj"),
+        F.lit("mentions file by documentation").alias("predicate"),
+        F.concat(F.lit("file:"), F.col("file_path")).alias("obj"),
+        F.lit(NORMAL_CONNECTION).alias("weight"),
+        F.lit("").alias("src_url"),
     )
     pred = F.when(F.col("kind") == "class", F.lit("points to class")).otherwise(
         F.lit("points to method")
     )
-    issue_entity = (
-        sel_resolved.filter(F.col("kind").isin("method", "class", "global_var"))
-        .select(
-            F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
-            pred.alias("predicate"),
-            F.col("entity_id").alias("obj"),
-            F.lit(NORMAL_CONNECTION * DOC_CONTEXT_MULTIPLIER).alias("weight"),
-            F.col("url").alias("src_url"),
-        )
-        .distinct()
+    # NO .distinct() here: the same (issue, entity) reached via two selected
+    # docs duplicates, but this branch is the COLLIDABLE part (see
+    # ``context_triples_parts``) — the pipeline's MERGE dedup absorbs the
+    # duplicates, so an extra 1M-row shuffle before it buys nothing.
+    # ``link_documentation`` adds the distinct for standalone callers.
+    issue_entity = sel_resolved.filter(
+        F.col("kind").isin("method", "class", "global_var")
+    ).select(
+        F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
+        pred.alias("predicate"),
+        F.col("entity_id").alias("obj"),
+        F.lit(NORMAL_CONNECTION * DOC_CONTEXT_MULTIPLIER).alias("weight"),
+        F.col("url").alias("src_url"),
     )
-    return issue_doc.unionByName(doc_file).unionByName(issue_entity)
+    return issue_doc.unionByName(doc_file), issue_entity
 
 
-def context_triples(
+def link_documentation(
+    issues: DataFrame | None,
+    docs: DataFrame,
+    entities: DataFrame,
+    limit: int = DOC_CONTEXT_LIMIT,
+    issue_tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Unioned documentation-context edges (``documentation_parts`` plus the
+    per-(issue, entity) dedup the pipeline's MERGE otherwise provides)."""
+    passthrough, collidable = documentation_parts(
+        issues, docs, entities, limit, issue_tokens
+    )
+    return passthrough.unionByName(collidable.distinct())
+
+
+def context_triples_parts(
     issues: DataFrame,
     entities: DataFrame,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
     issue_tokens: DataFrame | None = None,
-) -> DataFrame | None:
-    """All context stages unioned; None when no context inputs exist.
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """All context stages as (passthrough, collidable) edge parts.
+
+    ``collidable`` is the doc-symbol multiplier branch — the only context
+    edges whose (subj, predicate, obj) can also be produced by the core
+    link battery ('points to method' / 'points to class'); it must go
+    through the pipeline's min-weight MERGE dedup. Every other context
+    predicate ('points to commit', 'modified file', 'modified by commit',
+    'points to repair experience', 'mentions file', 'points to
+    documentation', 'mentions file by documentation') exists ONLY here and
+    is already distinct within its stage, so ``passthrough`` can bypass the
+    MERGE shuffle entirely — at bench density that is ~1.9M of 2.2M context
+    rows skipping a wide groupBy.
 
     The issue-token index is built ONCE and shared by all stages, and the
     (issue, commit) scoring is shared between the commit and repair stages
@@ -485,17 +535,41 @@ def context_triples(
     localCheckpoint here: checkpoint storage is not catalog-managed, so
     repeated pipeline runs leak executor memory — measured 4× slowdown.)"""
     parts = []
+    collidable = None
     toks = issue_tokens if issue_tokens is not None else issue_token_rows(issues)
     if commits is not None:
-        scored = commit_context_scores(issues, commits, issue_tokens=toks)
+        # shared by the commit AND repair selections — persist so the
+        # token join + count aggregate materializes once, not per stage
+        scored = _share(commit_context_scores(issues, commits, issue_tokens=toks))
         parts.append(link_commit_context(issues, commits, scored=scored))
         parts.append(commit_method_triples(commits, entities))
         parts.append(link_repair_experience(issues, commits, scored=scored))
     if docs is not None:
-        parts.append(link_documentation(issues, docs, entities, issue_tokens=toks))
+        doc_pass, collidable = documentation_parts(
+            issues, docs, entities, issue_tokens=toks
+        )
+        parts.append(doc_pass)
     if not parts:
-        return None
+        return None, None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out, collidable
+
+
+def context_triples(
+    issues: DataFrame,
+    entities: DataFrame,
+    commits: DataFrame | None = None,
+    docs: DataFrame | None = None,
+    issue_tokens: DataFrame | None = None,
+) -> DataFrame | None:
+    """All context stages unioned; None when no context inputs exist."""
+    passthrough, collidable = context_triples_parts(
+        issues, entities, commits, docs, issue_tokens
+    )
+    if passthrough is None:
+        return None
+    if collidable is not None:
+        passthrough = passthrough.unionByName(collidable.distinct())
+    return passthrough

@@ -183,7 +183,7 @@ def build_kg(
     )
     issue_tokens = None
     if commits is not None or docs is not None:
-        from .operators.context import context_triples, issue_token_rows
+        from .operators.context import context_triples_parts, issue_token_rows
 
         issues = prepared.select("url", "warc_ts", "clean_text")
         issue_tokens = issue_token_rows(issues)
@@ -191,17 +191,23 @@ def build_kg(
             # catalog-managed cache shared by the three context stages;
             # exposed as out["issue_tokens"] — caller owns unpersist
             issue_tokens = issue_tokens.persist()
-        ctx = context_triples(
+        ctx_pass, ctx_merge = context_triples_parts(
             issues, entities, commits=commits, docs=docs, issue_tokens=issue_tokens
         )
         # MERGE semantics across sources: keep the strongest (min) weight
         # per (subj, predicate, obj) — a doc-derived ×1.5 link must not
-        # override a direct STRONG link
-        triples = (
-            triples.unionByName(ctx)
-            .groupBy("subj", "predicate", "obj")
-            .agg(F.min("weight").alias("weight"), F.min("src_url").alias("src_url"))
+        # override a direct STRONG link. Only the collidable part (doc
+        # multiplier 'points to method/class') shares predicates with the
+        # core battery; the other context predicates exist only in
+        # ``ctx_pass`` and are stage-distinct, so they bypass the MERGE
+        # shuffle (~1.9M of 2.2M context rows at bench density).
+        if ctx_merge is not None:
+            triples = triples.unionByName(ctx_merge)
+        triples = triples.groupBy("subj", "predicate", "obj").agg(
+            F.min("weight").alias("weight"), F.min("src_url").alias("src_url")
         )
+        if ctx_pass is not None:
+            triples = triples.unionByName(ctx_pass)
     if include_reverse:
         triples = with_reverse_edges(triples)
     out = {
