@@ -454,6 +454,60 @@ def _evidence_export_batched(spark, sf_dir):
     )
 
 
+def _evidence_paths_batched(spark, sf_dir):
+    """Multi-path carrying in the batched evidence export (seeded_support
+    path_k — reference knowledge_graph.py:1075-1138 path_details): same
+    supplier/lineitem KG as ``evidence_export_batched`` but with path_k=4,
+    projecting per-path facts the oracle can derive: at max_hops=2 every
+    min-hop path is root→file:s<X>→method and paths sort lexicographically
+    by node sequence, so the k-th retained path's first node is the k-th
+    SMALLEST supplier of the part within the root's nation, and
+    n_paths = least(4, support)."""
+    from kgcompass_spark.plans.evidence import evidence_export_all
+
+    pad_n = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    pad_s = lambda c: F.lpad(c.cast("string"), 6, "0")  # noqa: E731
+    pad_p = lambda c: F.lpad(c.cast("string"), 7, "0")  # noqa: E731
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    home = li.groupBy("l_partkey").agg(F.min("l_suppkey").alias("home"))
+    e1 = sup.select(
+        F.concat(F.lit("issue:"), pad_n(F.col("s_nationkey"))).alias("subj"),
+        F.lit("points to file").alias("predicate"),
+        F.concat(F.lit("file:s"), pad_s(F.col("s_suppkey"))).alias("obj"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    e2 = li.join(home, "l_partkey").select(
+        F.concat(F.lit("file:s"), pad_s(F.col("l_suppkey"))).alias("subj"),
+        F.lit("contains method in file").alias("predicate"),
+        F.concat(
+            F.lit("method:p"), pad_p(F.col("l_partkey")),
+            F.lit("@s"), pad_s(F.col("home")),
+        ).alias("obj"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    roots = sup.select(
+        F.concat(F.lit("issue:"), pad_n(F.col("s_nationkey"))).alias("root")
+    ).distinct()
+    out = evidence_export_all(e1.unionByName(e2), roots, max_hops=2, path_k=4)
+    return out.select(
+        "root",
+        "node",
+        "support",
+        F.size("path_details").alias("n_paths"),
+        F.element_at(F.element_at("path_details", 1), 1)["node"].alias("first_seed"),
+        # ANSI mode: element_at throws past the end; support-1 targets
+        # carry a single path
+        F.try_element_at(
+            F.try_element_at(F.col("path_details"), F.lit(2)), F.lit(1)
+        )["node"].alias("second_seed"),
+        F.element_at("best_path", 1)["predicate"].alias("p1_pred"),
+        F.element_at("best_path", 2)["predicate"].alias("p2_pred"),
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _minhash_near_dups(spark, sf_dir):
@@ -700,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_bfs_hops": _g2_bfs_hops,
         "g2b_bfs_multi_root": _g2b_bfs_multi_root,
         "evidence_export_batched": _evidence_export_batched,
+        "evidence_paths_batched": _evidence_paths_batched,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # rows-only
@@ -937,6 +992,52 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY rank) AS type_rank
             FROM ranked
             QUALIFY type_rank <= 50
+        """,
+        "evidence_paths_batched": """
+            WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            home AS (SELECT l_partkey, min(l_suppkey) AS home FROM pairs GROUP BY l_partkey),
+            nsup AS (
+              SELECT s.s_nationkey AS nk, p.l_partkey AS pk, p.l_suppkey AS sk,
+                     row_number() OVER (PARTITION BY s.s_nationkey, p.l_partkey
+                                        ORDER BY p.l_suppkey) AS srk
+              FROM pairs p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+            ),
+            reach AS (
+              SELECT nk, pk,
+                     count(*) AS support,
+                     min(CASE WHEN srk = 1 THEN sk END) AS minsup,
+                     min(CASE WHEN srk = 2 THEN sk END) AS secsup
+              FROM nsup GROUP BY nk, pk
+            ),
+            cand AS (
+              SELECT 'issue:' || lpad(CAST(r.nk AS VARCHAR), 2, '0') AS root,
+                     'method:p' || lpad(CAST(r.pk AS VARCHAR), 7, '0') || '@s'
+                       || lpad(CAST(h.home AS VARCHAR), 6, '0') AS node,
+                     r.support AS support,
+                     least(4, r.support) AS n_paths,
+                     'file:s' || lpad(CAST(r.minsup AS VARCHAR), 6, '0') AS first_seed,
+                     CASE WHEN r.secsup IS NULL THEN NULL
+                          ELSE 'file:s' || lpad(CAST(r.secsup AS VARCHAR), 6, '0')
+                     END AS second_seed,
+                     'points to file' AS p1_pred,
+                     'contains method in file' AS p2_pred,
+                     (r.minsup = h.home) AS anchor,
+                     's' || lpad(CAST(h.home AS VARCHAR), 6, '0') AS file_path,
+                     'p' || lpad(CAST(r.pk AS VARCHAR), 7, '0') AS name
+              FROM reach r JOIN home h ON h.l_partkey = r.pk
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY root
+                       ORDER BY support DESC, anchor DESC,
+                                file_path ASC, name ASC, node ASC
+                     ) AS type_rank
+              FROM cand
+            )
+            SELECT root, node, support, n_paths, first_seed, second_seed,
+                   p1_pred, p2_pred
+            FROM ranked
+            WHERE type_rank <= 50
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
