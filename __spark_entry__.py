@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2b_bfs_multi_root": _g2b_bfs_multi_root,
         "evidence_export_batched": _evidence_export_batched,
         "evidence_paths_batched": _evidence_paths_batched,
+        "g6_pagerank": _g6_pagerank,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # rows-only
@@ -764,11 +765,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "detect_language_docs": _detect_language_docs,
         "lsh_cosine_topk": _lsh_cosine_topk,
-        "g6_pagerank": _g6_pagerank,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
     }
+
+
+def _build_pagerank_oracle(iters: int = 12) -> str:
+    """Unrolled power iteration for the g6 entry: rank_{t+1}(v) =
+    0.15·base(v) + 0.85·Σ_{u→v} rank_t(u)/outdeg(u), max-normalized —
+    one CTE pair per iteration (DuckDB recursive CTEs disallow the
+    aggregate in the recursive term, so the fixed iteration count is
+    unrolled instead)."""
+    edges = (
+        "SELECT 'region:' || n_regionkey AS src, 'nation:' || n_nationkey AS dst FROM nation "
+        "UNION ALL "
+        "SELECT 'nation:' || s_nationkey AS src, 'supplier:' || s_suppkey AS dst FROM supplier"
+    )
+    parts = [
+        f"WITH e AS ({edges}),",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        "base AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS base FROM nodes),",
+        "r0 AS (SELECT node, base AS rank FROM base),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow "
+            f"FROM r{i} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT b.node, 0.15 * b.base + 0.85 * coalesce(c.inflow, 0) AS rank "
+            f"FROM base b LEFT JOIN c{i} c ON c.node = b.node),"
+        )
+    parts.append(f"mx AS (SELECT max(rank) AS m FROM r{iters})")
+    parts.append(
+        f"SELECT node, round(rank / (SELECT m FROM mx), 6) AS score FROM r{iters}"
+    )
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -945,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT root, node, min(hops) AS hops FROM bfs GROUP BY root, node
         """,
+        "g6_pagerank": _build_pagerank_oracle(12),
         "evidence_export_batched": """
             WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
             home AS (SELECT l_partkey, min(l_suppkey) AS home FROM pairs GROUP BY l_partkey),

@@ -107,3 +107,56 @@ def test_running_mention_totals_stateful(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_triple_sink_matches_batch(spark, tmp_path):
+    """run_triples_stream: two page drops through the streaming sink emit
+    exactly the batch link battery's triples over the distinct urls —
+    per-issue independence makes per-micro-batch linking exact (module
+    docstring contract)."""
+    import os
+
+    from kgcompass_spark.pipeline import (
+        extract_frames,
+        extract_mentions,
+        link_all,
+        pages_meta_from,
+        prepare_pages,
+    )
+    from kgcompass_spark.operators.triples import links_to_triples
+    from kgcompass_spark.streaming.ingest import run_triples_stream
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=24)
+    drops = str(tmp_path / "tdrops")
+    os.makedirs(drops)
+    # split into two drops deterministically (total over all urls)
+    lo = pages.filter(F.crc32("url") % 2 == 0)
+    hi = pages.filter(F.crc32("url") % 2 == 1)
+    lo.coalesce(1).write.parquet(drops + "/batch_a")
+    hi.coalesce(1).write.parquet(drops + "/batch_b")
+    import shutil
+
+    flat = str(tmp_path / "tflat")
+    os.makedirs(flat)
+    for d in ("batch_a", "batch_b"):
+        for f in os.listdir(f"{drops}/{d}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{drops}/{d}/{f}", f"{flat}/{d}_{f}")
+
+    out_dir = str(tmp_path / "triple_sink")
+    run_triples_stream(spark, flat, entities, out_dir)
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir)
+        .select("subj", "predicate", "obj", "weight").collect()
+    )
+    prepared = prepare_pages(pages, None)
+    links = link_all(
+        extract_mentions(prepared), extract_frames(prepared), entities,
+        pages_meta_from(prepared),
+    )
+    want = sorted(
+        tuple(r) for r in links_to_triples(links)
+        .select("subj", "predicate", "obj", "weight").collect()
+    )
+    assert got == want and len(got) > 0
