@@ -185,25 +185,36 @@ def eligible_commits(
     )
 
 
+def _commit_score_text() -> F.Column:
+    # lazy — Columns need an active SparkContext
+    return F.concat_ws("\n", F.col("message"), F.array_join("source_files", "\n"))
+
+
 def commit_context_scores(
     issues: DataFrame | None,
     commits: DataFrame,
     max_files: int = COMMIT_CONTEXT_MAX_FILES,
     issue_tokens: DataFrame | None = None,
+    raw_scored: DataFrame | None = None,
 ) -> DataFrame:
     """Shared (issue, commit) scoring for the commit AND repair-experience
     stages: (url, warc_ts, commit_id, score, committed_ts), leakage-guarded,
     score > 0, over eligible commits (see ``eligible_commits``). Score text
     is message + the FILTERED source list (fl.py:2462). Both stages
-    filter/rank this one result — scoring runs once."""
+    filter/rank this one result — scoring runs once. ``raw_scored``
+    (url, warc_ts, commit_id, score) skips the token join — the combined
+    commit+doc scoring pass of ``context_triples_parts`` supplies it."""
     eligible = eligible_commits(commits, max_files)
-    score_text = F.concat_ws("\n", F.col("message"), F.array_join("source_files", "\n"))
-    scored = score_artifacts(
-        issues, eligible.withColumn("_st", score_text), "commit_id", F.col("_st"),
-        issue_tokens=issue_tokens,
-    )
+    if raw_scored is None:
+        raw_scored = score_artifacts(
+            issues,
+            eligible.withColumn("_st", _commit_score_text()),
+            "commit_id",
+            F.col("_st"),
+            issue_tokens=issue_tokens,
+        )
     return (
-        scored.join(
+        raw_scored.join(
             F.broadcast(eligible.select("commit_id", "committed_ts")), "commit_id"
         )
         .filter(F.col("committed_ts") <= F.col("warc_ts"))  # leakage guard
@@ -393,12 +404,28 @@ def doc_symbols(col) -> F.Column:
     )
 
 
+def eligible_docs(docs: DataFrame) -> DataFrame:
+    """Doc eligibility (fl.py:2097-2112): .md/.rst/.txt only, boilerplate
+    basenames (LICENSE, CONTRIBUTING, ...) excluded."""
+    base = F.lower(F.element_at(F.split(F.col("doc_path"), "/"), -1))
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    return docs.filter(
+        base.rlike(r"\.(md|rst|txt)$") & ~stem.isin(*sorted(BOILERPLATE_DOC_NAMES))
+    )
+
+
+def _doc_score_text() -> F.Column:
+    # lazy — Columns need an active SparkContext
+    return F.concat_ws("\n", F.col("doc_path"), F.col("text"))
+
+
 def documentation_parts(
     issues: DataFrame | None,
     docs: DataFrame,
     entities: DataFrame,
     limit: int = DOC_CONTEXT_LIMIT,
     issue_tokens: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass),
     returned as (passthrough, collidable) edge parts — see
@@ -413,22 +440,18 @@ def documentation_parts(
       doc  -[mentions file by documentation]-> file   (NORMAL)
       issue-[points to method/class]-> entity         (NORMAL × 1.5 — the
         DOC_CONTEXT_MULTIPLIER weakening for doc-derived evidence, fl.py:2139)
-    """
-    from ..config import BOILERPLATE_DOC_NAMES
 
-    # doc eligibility (fl.py:2097-2112): .md/.rst/.txt only, boilerplate
-    # basenames (LICENSE, CONTRIBUTING, ...) excluded
-    base = F.lower(F.element_at(F.split(F.col("doc_path"), "/"), -1))
-    stem = F.regexp_replace(base, r"\.[^.]*$", "")
-    docs = docs.filter(
-        base.rlike(r"\.(md|rst|txt)$")
-        & ~stem.isin(*sorted(BOILERPLATE_DOC_NAMES))
-    )
-    score_text = F.concat_ws("\n", F.col("doc_path"), F.col("text"))
-    scored = score_artifacts(
-        issues, docs.withColumn("_st", score_text), "doc_path", F.col("_st"),
-        issue_tokens=issue_tokens,
-    ).filter(F.col("score") > 0)
+    ``scored`` (url, warc_ts, doc_path, score — over ELIGIBLE docs) skips
+    the token join; the combined commit+doc scoring pass of
+    ``context_triples_parts`` supplies it.
+    """
+    docs = eligible_docs(docs)
+    if scored is None:
+        scored = score_artifacts(
+            issues, docs.withColumn("_st", _doc_score_text()), "doc_path",
+            F.col("_st"), issue_tokens=issue_tokens,
+        )
+    scored = scored.filter(F.col("score") > 0)
     w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("doc_path"))
     selected = _share(
         scored.withColumn("_rn", F.row_number().over(w))
@@ -537,16 +560,48 @@ def context_triples_parts(
     parts = []
     collidable = None
     toks = issue_tokens if issue_tokens is not None else issue_token_rows(issues)
+    commit_raw = doc_raw = None
+    if commits is not None and docs is not None:
+        # ONE token-scoring pass for both artifact families: tag ids with a
+        # family prefix, union the (id, score-text) tables, split the
+        # aggregate afterwards. Saves a full scan + count aggregate over the
+        # issue-token index (~1.5-2 s at 48k pages).
+        c_art = eligible_commits(commits).select(
+            F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
+            _commit_score_text().alias("_st"),
+        )
+        d_art = eligible_docs(docs).select(
+            F.concat(F.lit("d\x00"), F.col("doc_path")).alias("_art"),
+            _doc_score_text().alias("_st"),
+        )
+        raw = _share(
+            score_artifacts(
+                issues, c_art.unionByName(d_art), "_art", F.col("_st"),
+                issue_tokens=toks,
+            )
+        )
+        commit_raw = raw.filter(F.col("_art").startswith("c\x00")).select(
+            "url", "warc_ts",
+            F.expr("substring(_art, 3)").alias("commit_id"), "score",
+        )
+        doc_raw = raw.filter(F.col("_art").startswith("d\x00")).select(
+            "url", "warc_ts",
+            F.expr("substring(_art, 3)").alias("doc_path"), "score",
+        )
     if commits is not None:
         # shared by the commit AND repair selections — persist so the
         # token join + count aggregate materializes once, not per stage
-        scored = _share(commit_context_scores(issues, commits, issue_tokens=toks))
+        scored = commit_context_scores(
+            issues, commits, issue_tokens=toks, raw_scored=commit_raw
+        )
+        if commit_raw is None:
+            scored = _share(scored)
         parts.append(link_commit_context(issues, commits, scored=scored))
         parts.append(commit_method_triples(commits, entities))
         parts.append(link_repair_experience(issues, commits, scored=scored))
     if docs is not None:
         doc_pass, collidable = documentation_parts(
-            issues, docs, entities, issue_tokens=toks
+            issues, docs, entities, issue_tokens=toks, scored=doc_raw
         )
         parts.append(doc_pass)
     if not parts:
