@@ -399,51 +399,159 @@ def _brace_end_line(source: str, open_pos: int) -> int:
     return _line_of(source, len(source) - 1)
 
 
+def _brace_span_end(source: str, open_pos: int) -> int:
+    """Char index of the brace matching the first '{' at/after
+    ``open_pos`` (crude: no string/comment awareness — the reference's
+    ``_find_block_end`` brace counting has the same limitation)."""
+    start = source.find("{", open_pos)
+    if start == -1:
+        return open_pos
+    depth = 0
+    for i in range(start, len(source)):
+        c = source[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(source) - 1
+
+
+_JAVADOC_RE = _re.compile(r"/\*\*((?:[^*]|\*(?!/))*)\*/\s*$")
+
+
+def _doc_comment_before(source: str, start_pos: int) -> str:
+    """The ``/** ... */`` block ending directly above the declaration
+    (javalang ``_get_docstring`` reads the node's preceding doc comment),
+    leading ``*`` gutter stripped."""
+    # bounded window: the doc block must END at the declaration, so only
+    # the preceding ~2k chars can contain it (keeps the scan linear)
+    m = _JAVADOC_RE.search(source, max(0, start_pos - 2000), start_pos)
+    if not m:
+        return ""
+    lines = [ln.strip().lstrip("*").strip() for ln in m.group(1).splitlines()]
+    return "\n".join(ln for ln in lines if ln)
+
+
+_NAMESPACE_RE = _re.compile(r"(?m)^[ \t]*namespace\s+([A-Za-z_]\w*)\s*\{")
+_JAVA_CTOR_TMPL = (
+    r"(?m)^[ \t]*(?:(?:public|protected|private)\s+)?%s\s*\(([^)]*)\)\s*"
+    r"(?:throws[^{}}]*)?\{"
+)
+
+
 def _parse_braced_entities(file_path: str, source: str, module: str,
-                           class_re, method_re) -> list[dict]:
+                           class_re, method_re,
+                           namespaces: bool = False,
+                           constructors: bool = False) -> list[dict]:
+    """Structural scan shared by E5/E6: class/interface/enum declarations
+    with brace-matched spans, NESTED qualification via the innermost
+    enclosing declaration (javalang builds the Outer.Inner chain through
+    parent pointers, language_factory.py:963-987), methods attributed to
+    their innermost owner, doc comments, and (Java) constructors emitted
+    under the class name (ConstructorDeclaration,
+    language_factory.py:955-1010). ``namespaces`` adds C++
+    ``namespace X {`` spans to the qualification chain without emitting
+    rows for them."""
+    source = source or ""
     rows: list[dict] = []
-    classes = []
-    for m in class_re.finditer(source or ""):
-        cname = m.group(2)
-        qname = f"{module}.{cname}" if module else cname
-        s_line = _line_of(source, m.start())
-        e_line = _brace_end_line(source, m.end())
-        classes.append((cname, qname, s_line, e_line))
+    # (short, start_pos, end_pos, emit_row) — namespaces qualify but don't emit
+    scopes: list[tuple[str, int, int, bool, str]] = []
+    if namespaces:
+        for m in _NAMESPACE_RE.finditer(source):
+            scopes.append((m.group(1), m.start(), _brace_span_end(source, m.end() - 1), False, ""))
+    class_matches = []
+    for m in class_re.finditer(source):
+        end = _brace_span_end(source, m.end())
+        scopes.append((m.group(2), m.start(), end, True, m.group(1)))
+        class_matches.append(m)
+    scopes.sort(key=lambda s: (s[1], -s[2]))
+
+    classes: list[tuple[str, str, int, int]] = []  # short, qualified, span
+    for (cshort, cs, ce, emit, decl_kw) in scopes:
+        if not emit:
+            continue
+        outer = [s for (s, sp, ep, _, _) in scopes if sp < cs and ep >= ce]
+        parts = ([module] if module else []) + outer + [cshort]
+        qname = ".".join(parts)
+        s_line, e_line = _line_of(source, cs), _line_of(source, ce)
+        classes.append((cshort, qname, cs, ce))
         rows.append(dict(file_path=file_path, kind="class", name=qname,
-                         short_name=cname, signature=f"{m.group(1)} {cname}",
-                         start_line=s_line, end_line=e_line, doc_string=""))
-    for m in method_re.finditer(source or ""):
+                         short_name=cshort, signature=f"{decl_kw} {cshort}",
+                         start_line=s_line, end_line=e_line,
+                         doc_string=_doc_comment_before(source, cs)))
+
+    def _owner(pos: int) -> str | None:
+        """Qualified name of the INNERMOST class containing ``pos``."""
+        best = None
+        for (_, q, cs, ce) in classes:
+            if cs < pos <= ce and (best is None or cs > best[0]):
+                best = (cs, q)
+        return best[1] if best else None
+
+    seen: set[tuple[int, str]] = set()
+    for m in method_re.finditer(source):
         mname = m.group(1)
         if mname in _CTRL_KEYWORDS:
             continue
         s_line = _line_of(source, m.start())
         e_line = _brace_end_line(source, m.end() - 1)
-        owner = next(
-            (q for (_, q, cs, ce) in classes if cs <= s_line <= ce), None
-        )
+        owner = _owner(m.start())
         qname = f"{owner}.{mname}" if owner else (f"{module}.{mname}" if module else mname)
+        seen.add((s_line, mname))
         rows.append(dict(file_path=file_path, kind="method", name=qname,
                          short_name=mname,
                          signature=f"{mname}({m.group(2).strip()})",
-                         start_line=s_line, end_line=e_line, doc_string=""))
+                         start_line=s_line, end_line=e_line,
+                         doc_string=_doc_comment_before(source, m.start())))
+    if constructors:
+        for (cshort, cq, cs, ce) in classes:
+            ctor_re = _re.compile(_JAVA_CTOR_TMPL % _re.escape(cshort))
+            for m in ctor_re.finditer(source, cs, ce + 1):
+                s_line = _line_of(source, m.start())
+                if (s_line, cshort) in seen:
+                    continue
+                # the constructor must belong to THIS class, not a nested one
+                if _owner(m.start()) != cq:
+                    continue
+                e_line = _brace_end_line(source, m.end() - 1)
+                seen.add((s_line, cshort))
+                rows.append(dict(
+                    file_path=file_path, kind="method", name=f"{cq}.{cshort}",
+                    short_name=cshort,
+                    signature=f"{cshort}({m.group(1).strip()})",
+                    start_line=s_line, end_line=e_line,
+                    doc_string=_doc_comment_before(source, m.start()),
+                ))
+    rows.sort(key=lambda r: (r["start_line"], r["kind"], r["name"]))
     return rows
 
 
 def parse_java_entities(file_path: str, source: str) -> list[dict]:
-    """E5: Java classes/interfaces/enums + their methods
-    (language_factory.py:212-231 pattern family)."""
+    """E5: Java classes/interfaces/enums, their methods AND constructors,
+    with nested Outer.Inner qualification and javadoc doc_strings — the
+    observable outputs of the reference's javalang extractor
+    (language_factory.py:805-1010: ClassDeclaration filter, per-body
+    MethodDeclaration/ConstructorDeclaration, parent-chain qualified names,
+    _get_docstring), restated as a structural brace scan."""
     pkg = _JAVA_PACKAGE_RE.search(source or "")
     module = pkg.group(1) if pkg else ""
     return _parse_braced_entities(file_path, source, module,
-                                  _JAVA_CLASS_RE, _JAVA_METHOD_RE)
+                                  _JAVA_CLASS_RE, _JAVA_METHOD_RE,
+                                  constructors=True)
 
 
 def parse_cpp_entities(file_path: str, source: str) -> list[dict]:
-    """E6: C++ classes/structs + functions
-    (language_factory.py:243-262 pattern family). Module = path-derived."""
+    """E6: C++ classes/structs + functions/methods with namespace + nested
+    class qualification (the reference's libclang walk,
+    language_factory.py:616-801, emits bare cursor spellings; the dotted
+    qualification here is the repo's entity-id convention). Module =
+    path-derived."""
     module = _module_of(_re.sub(r"\.(cpp|cc|cxx|hpp|hxx|h)$", "", file_path) + ".py")
     return _parse_braced_entities(file_path, source, module,
-                                  _CPP_CLASS_RE, _CPP_FUNC_RE)
+                                  _CPP_CLASS_RE, _CPP_FUNC_RE,
+                                  namespaces=True)
 
 
 _CPP_EXTS = (".cpp", ".cc", ".cxx", ".hpp", ".hxx", ".h")

@@ -171,3 +171,76 @@ def test_inventory_from_mixed_language_sources(spark):
     assert "method:com.ex.B.go@com/ex/B.java" in ents
     assert "class:core.c.C@core/c.cpp" in ents
     assert "file:com/ex/B.java" in ents
+
+
+def test_java_nested_types_constructors_javadoc():
+    """E5 structural fidelity (javalang-extractor observables,
+    language_factory.py:805-1010): nested Outer.Inner qualification,
+    constructors emitted under the class name, javadoc doc_strings,
+    interface default methods, throws-clause methods."""
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = (
+        "package com.acme.app;\n\n"
+        "/** Outer widget container. */\n"
+        "public class Outer {\n"
+        "    /** Builds an Outer. */\n"
+        "    public Outer(int size) {\n"
+        "        this.size = size;\n"
+        "    }\n\n"
+        "    /** Inner helper. */\n"
+        "    public static class Inner {\n"
+        "        public Inner() { }\n\n"
+        "        public int run(int x) {\n"
+        "            if (x > 0) { return x; }\n"
+        "            return 0;\n"
+        "        }\n"
+        "    }\n\n"
+        "    public void close() throws Exception {\n"
+        "    }\n"
+        "}\n\n"
+        "interface Flat {\n"
+        "    default int depth() { return 0; }\n"
+        "}\n"
+    )
+    rows = {r["name"]: r for r in parse_java_entities("src/Outer.java", src)}
+    assert rows["com.acme.app.Outer"]["doc_string"] == "Outer widget container."
+    inner = rows["com.acme.app.Outer.Inner"]
+    assert inner["kind"] == "class" and inner["doc_string"] == "Inner helper."
+    ctor = rows["com.acme.app.Outer.Outer"]
+    assert ctor["kind"] == "method" and ctor["signature"] == "Outer(int size)"
+    assert ctor["doc_string"] == "Builds an Outer."
+    assert rows["com.acme.app.Outer.Inner.Inner"]["signature"] == "Inner()"
+    assert rows["com.acme.app.Outer.Inner.run"]["kind"] == "method"
+    assert "com.acme.app.Outer.close" in rows
+    assert rows["com.acme.app.Flat.depth"]["kind"] == "method"
+    # the constructor belongs to its own class, never double-attributed
+    assert "com.acme.app.Outer.Inner.Outer" not in rows
+
+
+def test_cpp_namespace_and_nested_qualification():
+    """E6: namespace spans qualify without emitting rows; methods attach
+    to the innermost class; free functions to the enclosing namespace."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        "namespace acme {\n"
+        "namespace util {\n"
+        "class Buffer {\n"
+        " public:\n"
+        "  int fill(char c) {\n"
+        "    return 1;\n"
+        "  }\n"
+        "};\n"
+        "}\n"
+        "int free_fn(int a) {\n"
+        "  return a;\n"
+        "}\n"
+        "}\n"
+    )
+    rows = {r["name"]: r for r in parse_cpp_entities("src/acme/buffer.cpp", src)}
+    assert rows["src.acme.buffer.acme.util.Buffer"]["kind"] == "class"
+    assert rows["src.acme.buffer.acme.util.Buffer.fill"]["kind"] == "method"
+    assert rows["src.acme.buffer.free_fn"]["kind"] == "method"
+    # no rows for the namespaces themselves
+    assert not any(n.endswith(".acme") or n.endswith(".util") for n in rows)
