@@ -508,6 +508,48 @@ def _evidence_paths_batched(spark, sf_dir):
     )
 
 
+def _context_commit_topk(spark, sf_dir):
+    """The REAL commit-context stage (operators/context.link_commit_context
+    — fl.py:2412-2500) over tables the oracle can mirror exactly: orders as
+    issues (o_comment text, o_orderdate as the page ts) and parts as
+    commits (p_comment message, synthetic commit ts, one .py changed file,
+    every 11th a merge). Oracle reproduces the whole chain in SQL:
+    context_tokens (ident regex ≥3 chars, 14 stopwords, version tokens),
+    maintenance-regex + merge eligibility, leakage guard, score>0, the
+    top-5-per-issue (-score, -ts, id) selection, and both edge families."""
+    from kgcompass_spark.operators.context import link_commit_context
+
+    d = _t(spark, sf_dir, "documents")
+    issues = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (
+            F.lit("1996-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 1000).cast("int"))
+        ).alias("warc_ts"),
+        F.col("text").alias("clean_text"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    commits = p.select(
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("commit_id"),
+        F.concat_ws(" ", "p_name", "p_type").alias("message"),
+        (
+            F.lit("1995-06-01").cast("timestamp")
+            + F.make_interval(days=(F.col("p_partkey") % 1460).cast("int"))
+        ).alias("committed_ts"),
+        F.array(F.lit("pkg/data_loader.py")).alias("changed_files"),
+        F.array().cast(
+            "array<struct<file_path:string,start_line:int,end_line:int>>"
+        ).alias("changed_spans"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(2)).otherwise(F.lit(1)).alias(
+            "n_parents"
+        ),
+    )
+    out = link_commit_context(issues, commits, limit=5)
+    return out.select(
+        "subj", "predicate", "obj", F.round("weight", 2).alias("weight"), "src_url"
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _minhash_near_dups(spark, sf_dir):
@@ -755,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2b_bfs_multi_root": _g2b_bfs_multi_root,
         "evidence_export_batched": _evidence_export_batched,
         "evidence_paths_batched": _evidence_paths_batched,
+        "context_commit_topk": _context_commit_topk,
         "g6_pagerank": _g6_pagerank,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -982,6 +1025,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT root, node, min(hops) AS hops FROM bfs GROUP BY root, node
         """,
         "g6_pagerank": _build_pagerank_oracle(12),
+        "context_commit_topk": r"""
+            WITH iss AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '1996-01-01'
+                       + (doc_id % 1000) * INTERVAL 1 DAY AS warc_ts,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(text), '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(text), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM documents
+            ),
+            com AS (
+              SELECT lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS cid,
+                     TIMESTAMP '1995-06-01'
+                       + (p_partkey % 1460) * INTERVAL 1 DAY AS cts,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(
+                           lower(p_name || ' ' || p_type || chr(10) || 'pkg/data_loader.py'),
+                           '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(p_name || ' ' || p_type), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM part
+              WHERE p_partkey % 10 = 0
+                AND p_partkey % 11 <> 0
+                AND NOT regexp_matches(split_part(p_name || ' ' || p_type, chr(10), 1),
+                  '(?i)\b(pyupgrade|pre-commit|precommit|black|isort|ruff|flake8|pylint|format(?:ting)?|style|lint|whitespace|typo|spelling|docstring|sphinx|warning|codestyle|D\d{3,4}|B\d{3,4}|SIM\d{3,4}|RUF\d{3,4}|E\d{3,4}|W\d{3,4}|F\d{3,4}|dependabot|bump|changelog|release notes)\b')
+            ),
+            pairs AS (
+              SELECT i.url, c.cid, c.cts,
+                     len(list_intersect(i.toks, c.toks)) AS score
+              FROM iss i CROSS JOIN com c
+              WHERE c.cts <= i.warc_ts
+            ),
+            sel AS (
+              SELECT url, cid FROM (
+                SELECT url, cid,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY score DESC, cts DESC, cid ASC) AS rn
+                FROM pairs WHERE score > 0
+              ) WHERE rn <= 5
+            )
+            SELECT 'issue:' || url AS subj, 'points to commit' AS predicate,
+                   'commit:' || cid AS obj, CAST(0.5 AS DOUBLE) AS weight,
+                   url AS src_url
+            FROM sel
+            UNION ALL
+            SELECT DISTINCT 'commit:' || cid, 'modified file',
+                   'file:pkg/data_loader.py', CAST(0.5 AS DOUBLE), ''
+            FROM sel
+        """,
         "evidence_export_batched": """
             WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
             home AS (SELECT l_partkey, min(l_suppkey) AS home FROM pairs GROUP BY l_partkey),
