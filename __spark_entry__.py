@@ -550,6 +550,107 @@ def _context_commit_topk(spark, sf_dir):
     )
 
 
+def _context_repair_topk(spark, sf_dir):
+    """The repair-experience stage (operators/context.link_repair_experience
+    — fl.py:2317-2410) over the same documents/parts cast: every third part
+    gets a 'fix broken ...' message (matches REPAIR_EXPERIENCE_REGEX), the
+    rest stay ineligible; min_score=1 so the corpus vocabulary produces
+    matches. Oracle mirrors eligibility (merge + maintenance), the repair
+    regex on the first lines, scoring, leakage, the top-12 (-score, -ts,
+    id) selection, and both edge families (STRONG issue edge + NORMAL
+    mentions-file edge)."""
+    from kgcompass_spark.operators.context import link_repair_experience
+
+    d = _t(spark, sf_dir, "documents")
+    issues = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (
+            F.lit("1996-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 1000).cast("int"))
+        ).alias("warc_ts"),
+        F.col("text").alias("clean_text"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    base_msg = F.concat_ws(" ", "p_name", "p_type")
+    commits = p.select(
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("commit_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.concat(F.lit("fix broken "), base_msg)
+        ).otherwise(base_msg).alias("message"),
+        (
+            F.lit("1995-06-01").cast("timestamp")
+            + F.make_interval(days=(F.col("p_partkey") % 1460).cast("int"))
+        ).alias("committed_ts"),
+        F.array(F.lit("pkg/data_loader.py")).alias("changed_files"),
+        F.array().cast(
+            "array<struct<file_path:string,start_line:int,end_line:int>>"
+        ).alias("changed_spans"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(2)).otherwise(F.lit(1)).alias(
+            "n_parents"
+        ),
+    )
+    out = link_repair_experience(issues, commits, min_score=1)
+    return out.select(
+        "subj", "predicate", "obj", F.round("weight", 2).alias("weight"), "src_url"
+    )
+
+
+def _context_docs_topk(spark, sf_dir):
+    """The documentation stage (operators/context.link_documentation —
+    fl.py:2086-2316) end-to-end: parts become guide docs with a backticked
+    dotted symbol (every 7th referencing a symbol that resolves to
+    NOTHING — pinning the reference's linked-files gate: selected but
+    edge-less), and a parts-derived entity inventory resolves the rest.
+    Oracle mirrors doc eligibility, scoring, the top-8 (-score, doc_path)
+    selection, symbol resolution, and all three edge families. The
+    per-issue doc-node ids carry a sha1 fragment DuckDB cannot compute, so
+    BOTH sides project it away (':h' suffix) — multiplicities still
+    compare exactly."""
+    from kgcompass_spark.operators.context import link_documentation
+
+    d = _t(spark, sf_dir, "documents")
+    issues = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (
+            F.lit("1996-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 1000).cast("int"))
+        ).alias("warc_ts"),
+        F.col("text").alias("clean_text"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    k = F.col("p_partkey").cast("string")
+    sym = F.when(
+        F.col("p_partkey") % 7 == 0, F.concat(F.lit("pkg.mod.nothing"), k)
+    ).otherwise(F.concat(F.lit("pkg.mod.widget"), k))
+    docs = p.select(
+        F.concat(F.lit("docs/guide"), k, F.lit(".md")).alias("doc_path"),
+        F.concat(
+            F.lit("guide for "), F.col("p_name"), F.lit(" "), F.col("p_type"),
+            F.lit(" `"), sym, F.lit("`"),
+        ).alias("text"),
+    )
+    kind = F.when(F.col("p_partkey") % 2 == 0, F.lit("method")).otherwise(
+        F.lit("class")
+    )
+    name = F.concat(F.lit("pkg.mod.widget"), k)
+    fpath = F.concat(F.lit("pkg/mod"), k, F.lit(".py"))
+    entities = p.select(
+        F.concat(kind, F.lit(":"), name, F.lit("@"), fpath).alias("entity_id"),
+        kind.alias("kind"),
+        fpath.alias("file_path"),
+        name.alias("name"),
+    )
+    out = link_documentation(issues, docs, entities)
+    strip = lambda c: F.regexp_replace(c, r":[0-9a-f]{12}$", ":h")  # noqa: E731
+    return out.select(
+        strip(F.col("subj")).alias("subj"),
+        "predicate",
+        strip(F.col("obj")).alias("obj"),
+        F.round("weight", 2).alias("weight"),
+        "src_url",
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _minhash_near_dups(spark, sf_dir):
@@ -798,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evidence_export_batched": _evidence_export_batched,
         "evidence_paths_batched": _evidence_paths_batched,
         "context_commit_topk": _context_commit_topk,
+        "context_repair_topk": _context_repair_topk,
+        "context_docs_topk": _context_docs_topk,
         "g6_pagerank": _g6_pagerank,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -1176,6 +1279,143 @@ def oracle_sql() -> dict[str, str]:
                    p1_pred, p2_pred
             FROM ranked
             WHERE type_rank <= 50
+        """,
+        "context_repair_topk": r"""
+            WITH iss AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '1996-01-01'
+                       + (doc_id % 1000) * INTERVAL 1 DAY AS warc_ts,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(text), '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(text), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM documents
+            ),
+            msgs AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % 3 = 0
+                          THEN 'fix broken ' || p_name || ' ' || p_type
+                          ELSE p_name || ' ' || p_type END AS msg
+              FROM part WHERE p_partkey % 10 = 0
+            ),
+            com AS (
+              SELECT lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS cid,
+                     TIMESTAMP '1995-06-01'
+                       + (p_partkey % 1460) * INTERVAL 1 DAY AS cts,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(
+                           lower(msg || chr(10) || 'pkg/data_loader.py'),
+                           '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(msg), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM msgs
+              WHERE p_partkey % 11 <> 0
+                AND NOT regexp_matches(split_part(msg, chr(10), 1),
+                  '(?i)\b(pyupgrade|pre-commit|precommit|black|isort|ruff|flake8|pylint|format(?:ting)?|style|lint|whitespace|typo|spelling|docstring|sphinx|warning|codestyle|D\d{3,4}|B\d{3,4}|SIM\d{3,4}|RUF\d{3,4}|E\d{3,4}|W\d{3,4}|F\d{3,4}|dependabot|bump|changelog|release notes)\b')
+                AND regexp_matches(msg,
+                  '(?i)\b(fix(?:e[sd])?|bug(?:fix)?|error|fail(?:ed|s|ure)?|regression|incorrect(?:ly)?|wrong|crash(?:es|ed)?|exception|broken|repair|resolve(?:[sd])?|invalid)\b')
+            ),
+            pairs AS (
+              SELECT i.url, c.cid, c.cts,
+                     len(list_intersect(i.toks, c.toks)) AS score
+              FROM iss i CROSS JOIN com c
+              WHERE c.cts <= i.warc_ts
+            ),
+            sel AS (
+              SELECT url, cid FROM (
+                SELECT url, cid,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY score DESC, cts DESC, cid ASC) AS rn
+                FROM pairs WHERE score >= 1
+              ) WHERE rn <= 12
+            )
+            SELECT 'issue:' || url AS subj,
+                   'points to repair experience' AS predicate,
+                   'repair:' || cid AS obj, CAST(0.25 AS DOUBLE) AS weight,
+                   url AS src_url
+            FROM sel
+            UNION ALL
+            SELECT DISTINCT 'repair:' || cid, 'mentions file',
+                   'file:pkg/data_loader.py', CAST(0.5 AS DOUBLE), ''
+            FROM sel
+        """,
+        "context_docs_topk": r"""
+            WITH iss AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(text), '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(text), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM documents
+            ),
+            docs AS (
+              SELECT p_partkey AS k,
+                     'docs/guide' || CAST(p_partkey AS VARCHAR) || '.md' AS doc_path,
+                     'guide for ' || p_name || ' ' || p_type || ' `'
+                       || CASE WHEN p_partkey % 7 = 0
+                               THEN 'pkg.mod.nothing' || CAST(p_partkey AS VARCHAR)
+                               ELSE 'pkg.mod.widget' || CAST(p_partkey AS VARCHAR) END
+                       || '`' AS text,
+                     (p_partkey % 7 <> 0) AS resolves,
+                     CASE WHEN p_partkey % 2 = 0 THEN 'method' ELSE 'class' END AS kind,
+                     'pkg.mod.widget' || CAST(p_partkey AS VARCHAR) AS ename,
+                     'pkg/mod' || CAST(p_partkey AS VARCHAR) || '.py' AS fpath
+              FROM part WHERE p_partkey % 10 = 0
+            ),
+            dtok AS (
+              SELECT k, doc_path, resolves, kind, ename, fpath,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(doc_path || chr(10) || text),
+                                            '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(doc_path || chr(10) || text),
+                                          '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM docs
+            ),
+            sel AS (
+              SELECT url, k, doc_path, resolves, kind, ename, fpath FROM (
+                SELECT i.url, d.k, d.doc_path, d.resolves, d.kind, d.ename, d.fpath,
+                       row_number() OVER (
+                         PARTITION BY i.url
+                         ORDER BY len(list_intersect(i.toks, d.toks)) DESC,
+                                  d.doc_path ASC
+                       ) AS rn
+                FROM iss i CROSS JOIN dtok d
+                WHERE len(list_intersect(i.toks, d.toks)) > 0
+              ) WHERE rn <= 8
+            )
+            SELECT 'issue:' || url AS subj,
+                   'points to documentation' AS predicate,
+                   'doc:' || url || ':h' AS obj,
+                   CAST(0.5 AS DOUBLE) AS weight, url AS src_url
+            FROM sel WHERE resolves
+            UNION ALL
+            SELECT 'doc:' || url || ':h', 'mentions file by documentation',
+                   'file:' || fpath, CAST(0.5 AS DOUBLE), ''
+            FROM sel WHERE resolves
+            UNION ALL
+            SELECT DISTINCT 'issue:' || url,
+                   CASE WHEN kind = 'class' THEN 'points to class'
+                        ELSE 'points to method' END,
+                   kind || ':' || ename || '@' || fpath,
+                   CAST(0.75 AS DOUBLE), url
+            FROM sel WHERE resolves
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
