@@ -1086,6 +1086,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
+        "detect_language_docs": """
+            -- n-gram-marker language ID: distinct-token intersection per
+            -- marker set, argmax with the lexicographic-max-lang tie-break
+            -- of Spark's array_max over (hits, lang) structs
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                len(list_intersect(tk, ['the','and','of','to','is','in','that','it','for','with'])) AS en,
+                len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','für'])) AS de,
+                len(list_intersect(tk, ['le','la','les','et','est','une','pour','dans','que'])) AS fr,
+                len(list_intersect(tk, ['el','la','los','las','es','una','para','con','que'])) AS es
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        WHEN es = greatest(en, de, fr, es) THEN 'es'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        ELSE 'de'
+                   END AS detected
+            FROM h
+        """,
         "a2_context_score": """
             SELECT doc_id,
                    len(list_intersect(
