@@ -118,6 +118,9 @@ def main() -> None:
         "g8_connected_components",
         "g2_bfs_hops",
         "a8_eval_summary",
+        # the batched evidence export: 25 roots, multi-path seeded support,
+        # per-root capping + rank windows over the supplier/lineitem KG
+        "evidence_export_batched",
     ]
     # warm-up + best-of-2 (same protocol as the pipeline queries): a cold
     # single shot on this VM mixes JIT/codegen/GC noise into the reading —
