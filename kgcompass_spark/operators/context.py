@@ -230,6 +230,7 @@ def link_commit_context(
     link_files_cap: int = COMMIT_LINK_FILES_CAP,
     scored: DataFrame | None = None,
     issue_tokens: DataFrame | None = None,
+    selected: DataFrame | None = None,
 ) -> DataFrame:
     """Historical-commit context (fl.py:2412-2500).
 
@@ -242,18 +243,23 @@ def link_commit_context(
     SOURCE files (fl.py:2488-2492 re-filters inside the emit loop — doc /
     non-language paths never get edges). Tie-break beyond the reference's
     (-score, -committed_date): commit_id asc, so output is deterministic.
+
+    ``selected`` (url, commit_id — the per-issue top-``limit`` rows) skips
+    scoring + window entirely; ``commit_repair_selections`` computes the
+    commit and repair selections from ONE shuffle for the pipeline.
     """
     eligible = eligible_commits(commits, max_files)
-    if scored is None:
-        scored = commit_context_scores(issues, commits, max_files, issue_tokens)
-    w = Window.partitionBy("url").orderBy(
-        F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
-    )
-    selected = _share(
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= limit)
-        .select("url", "commit_id")
-    )
+    if selected is None:
+        if scored is None:
+            scored = commit_context_scores(issues, commits, max_files, issue_tokens)
+        w = Window.partitionBy("url").orderBy(
+            F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
+        )
+        selected = _share(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .select("url", "commit_id")
+        )
     issue_commit = selected.select(
         F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
         F.lit("points to commit").alias("predicate"),
@@ -323,6 +329,7 @@ def link_repair_experience(
     max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
     scored: DataFrame | None = None,
     issue_tokens: DataFrame | None = None,
+    selected: DataFrame | None = None,
 ) -> DataFrame:
     """Historical repair-experience context (fl.py:2317-2410).
 
@@ -336,26 +343,29 @@ def link_repair_experience(
 
     ``scored`` may be the shared ``commit_context_scores`` result (repair
     commits are a subset of commit-context-eligible ones, and the score is
-    identical) — the repair-specific filters are applied here.
+    identical) — the repair-specific filters are applied here. ``selected``
+    (url, commit_id — the gated per-issue top-``limit`` rows) skips both;
+    see ``commit_repair_selections``.
     """
     from ..config import REPAIR_EXPERIENCE_REGEX
 
     repair = eligible_commits(commits, max_files).filter(
         _first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX)
     )
-    if scored is None:
-        scored = commit_context_scores(issues, commits, issue_tokens=issue_tokens)
-    scored = scored.join(
-        F.broadcast(repair.select("commit_id")), "commit_id", "left_semi"
-    ).filter(F.col("score") >= min_score)
-    w = Window.partitionBy("url").orderBy(
-        F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
-    )
-    selected = _share(
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= limit)
-        .select("url", "commit_id")
-    )
+    if selected is None:
+        if scored is None:
+            scored = commit_context_scores(issues, commits, issue_tokens=issue_tokens)
+        scored = scored.join(
+            F.broadcast(repair.select("commit_id")), "commit_id", "left_semi"
+        ).filter(F.col("score") >= min_score)
+        w = Window.partitionBy("url").orderBy(
+            F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
+        )
+        selected = _share(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .select("url", "commit_id")
+        )
     issue_exp = selected.select(
         F.concat(F.lit("issue:"), F.col("url")).alias("subj"),
         F.lit("points to repair experience").alias("predicate"),
@@ -378,6 +388,61 @@ def link_repair_experience(
         .distinct()
     )
     return issue_exp.unionByName(exp_file)
+
+
+def commit_repair_selections(
+    scored: DataFrame,
+    commits: DataFrame,
+    commit_limit: int = COMMIT_CONTEXT_LIMIT,
+    repair_limit: int = REPAIR_EXPERIENCE_LIMIT,
+    repair_min_score: int = REPAIR_EXPERIENCE_MIN_SCORE,
+    repair_max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
+) -> tuple[DataFrame, DataFrame]:
+    """Both per-issue selections from ONE shuffle: the commit-stage top-N
+    window partitions by url; the repair window by (url, repair-gate flag).
+    ``HashPartitioning(url)`` satisfies clustering on (url, flag), so
+    Catalyst plans a single exchange with two sorts instead of two
+    window exchanges over the scored table (~605k rows at bench density).
+    Selection semantics are identical to the stage-local windows: the
+    repair rank is computed WITHIN the gated rows (flag partitions), so
+    non-repair rows never consume repair ranks. Returns
+    (selected_commits, selected_repair), both (url, commit_id), shared via
+    one persist."""
+    from ..config import REPAIR_EXPERIENCE_REGEX
+
+    repair_ids = (
+        eligible_commits(commits, repair_max_files)
+        .filter(_first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX))
+        .select("commit_id")
+        .withColumn("_rep", F.lit(True))
+    )
+    sc = scored.join(F.broadcast(repair_ids), "commit_id", "left").withColumn(
+        "_rep_ok",
+        F.coalesce(F.col("_rep"), F.lit(False))
+        & (F.col("score") >= repair_min_score),
+    )
+    order = [F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")]
+    w_all = Window.partitionBy("url").orderBy(*order)
+    w_rep = Window.partitionBy("url", "_rep_ok").orderBy(*order)
+    sel = _share(
+        sc.select(
+            "url",
+            "commit_id",
+            "_rep_ok",
+            F.row_number().over(w_all).alias("_rn_a"),
+            F.row_number().over(w_rep).alias("_rn_r"),
+        ).filter(
+            (F.col("_rn_a") <= commit_limit)
+            | (F.col("_rep_ok") & (F.col("_rn_r") <= repair_limit))
+        )
+    )
+    selected_commits = sel.filter(F.col("_rn_a") <= commit_limit).select(
+        "url", "commit_id"
+    )
+    selected_repair = sel.filter(
+        F.col("_rep_ok") & (F.col("_rn_r") <= repair_limit)
+    ).select("url", "commit_id")
+    return selected_commits, selected_repair
 
 
 def doc_symbols(col) -> F.Column:
@@ -596,9 +661,10 @@ def context_triples_parts(
         )
         if commit_raw is None:
             scored = _share(scored)
-        parts.append(link_commit_context(issues, commits, scored=scored))
+        sel_commits, sel_repair = commit_repair_selections(scored, commits)
+        parts.append(link_commit_context(issues, commits, selected=sel_commits))
         parts.append(commit_method_triples(commits, entities))
-        parts.append(link_repair_experience(issues, commits, scored=scored))
+        parts.append(link_repair_experience(issues, commits, selected=sel_repair))
     if docs is not None:
         doc_pass, collidable = documentation_parts(
             issues, docs, entities, issue_tokens=toks, scored=doc_raw
