@@ -651,27 +651,36 @@ def _context_docs_topk(spark, sf_dir):
     )
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
+# --- dedup family, oracle-parameterized hash --------------------------------
+#
+# These run the SAME banding / bit-vote / winnowing logic as the xxhash64
+# scale path, under the md5_60 hash family (functions/hashing.py) that
+# DuckDB reproduces — so the whole pipeline is value-checked end-to-end.
 
 def _minhash_near_dups(spark, sf_dir):
+    from kgcompass_spark.functions.hashing import md5_60
     from kgcompass_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    return minhash_lsh_candidates(sigs).filter(F.col("n_shared_bands") >= 2)
+    sigs = minhash_signatures(d, hash_fn=md5_60)
+    return minhash_lsh_candidates(sigs, hash_fn=md5_60).filter(
+        F.col("n_shared_bands") >= 2
+    )
 
 
 def _simhash_docs(spark, sf_dir):
+    from kgcompass_spark.functions.hashing import md5_60
     from kgcompass_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_fn=md5_60)
 
 
 def _fingerprint_docs(spark, sf_dir):
+    from kgcompass_spark.functions.hashing import md5_60
     from kgcompass_spark.functions.text_quality import fingerprint
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return d.select("doc_id", fingerprint(F.col("text"), hash_fn=md5_60).alias("fp"))
 
 
 def _detect_language_docs(spark, sf_dir):
@@ -682,13 +691,15 @@ def _detect_language_docs(spark, sf_dir):
 
 
 def _lsh_cosine_topk(spark, sf_dir):
+    from kgcompass_spark.functions.hashing import md5_60
     from kgcompass_spark.operators.simsearch import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    out = lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, hash_fn=md5_60)
+    return out.select("vec_id", "rank", F.round("cosine", 4).alias("cos_sim"))
 
 
 def _g6_pagerank(spark, sf_dir):
@@ -915,6 +926,180 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
     }
+
+
+def _h60(expr: str) -> str:
+    """DuckDB twin of functions.hashing.md5_60 (60-bit bigint from md5)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# whitespace tokens, lowercased, empties dropped — DuckDB twin of the
+# Spark `_tokens` / text_quality.tokens helpers
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
+)
+
+
+def _build_minhash_oracle(
+    num_hashes: int = 32, bands: int = 8, max_bucket: int = 256
+) -> str:
+    """DuckDB twin of minhash_signatures(hash_fn=md5_60) →
+    minhash_lsh_candidates(hash_fn=md5_60) → n_shared_bands >= 2, including
+    the mega-bucket star guard. Signature mins are list_min over the
+    shingle list (Spark: explode + min aggregates — same values)."""
+    mersenne = (1 << 61) - 1
+    rows_per_band = num_hashes // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hh, h -> (h * {2 * i + 1} + {1_000_003 * (i + 1)}) "
+        f"% {mersenne})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_id, {h} AS band_hash FROM sig".format(
+            i=i,
+            h=_h60(
+                " || ',' || ".join(
+                    f"h{i * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+                )
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE [array_to_string(tk[i+1:i+3], ' ')
+                       for i in generate_series(0, len(tk) - 3)]
+            END AS shingles
+          FROM toks
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s -> {_h60('s')} % 2147483647) AS hh
+          FROM sh
+        ),
+        sig AS (SELECT doc_id, {sig_cols} FROM hs),
+        banded AS ({band_selects}),
+        stats AS (
+          SELECT band_id, band_hash, count(*) AS bsize, min(doc_id) AS bmin
+          FROM banded GROUP BY band_id, band_hash
+        ),
+        bd AS (
+          SELECT b.doc_id, b.band_id, b.band_hash, s.bsize, s.bmin
+          FROM banded b JOIN stats s USING (band_id, band_hash)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bd a JOIN bd b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          WHERE a.bsize <= {max_bucket}
+          UNION ALL
+          SELECT bmin AS doc_a, doc_id AS doc_b FROM bd
+          WHERE bsize > {max_bucket} AND doc_id <> bmin
+        )
+        SELECT doc_a, doc_b, count(*) AS n_shared_bands
+        FROM pairs GROUP BY doc_a, doc_b
+        HAVING count(*) >= 2
+    """
+
+
+def _build_simhash_oracle(bits: int = 60) -> str:
+    """DuckDB twin of simhash(bits=60, hash_fn=md5_60): per-token md5_60,
+    per-bit ±1 votes, positive-vote bits packed (h is non-negative, so
+    shiftright == integer division — written as // here)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, {_h60('tok')} AS h FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({pack})::BIGINT AS simhash FROM votes
+    """
+
+
+def _build_fingerprint_oracle(k: int = 8) -> str:
+    """DuckDB twin of fingerprint(hash_fn=md5_60): token trigram md5_60
+    hashes, k smallest ascending, md5_60 of their comma-joined decimals."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+        ),
+        tri AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) < 3 THEN [{_h60("array_to_string(tk, ' ')")}]
+                 ELSE [{_h60("array_to_string(tk[i+1:i+3], ' ')")}
+                       for i in generate_series(0, len(tk) - 3)]
+            END AS th
+          FROM toks
+        ),
+        sm AS (SELECT doc_id, (list_sort(th))[1:{k}] AS sm FROM tri)
+        SELECT doc_id,
+               {_h60("array_to_string(list_transform(sm, x -> x::VARCHAR), ',')")} AS fp
+        FROM sm
+    """
+
+
+def _build_lsh_topk_oracle(n_planes: int = 8, k: int = 10) -> str:
+    """DuckDB twin of lsh_topk(hash_fn=md5_60): hyperplane sign sketch with
+    md5_60-derived plane weights, multiprobe = query sketch + all 1-bit
+    flips, exact cosine on the probed buckets. The dot product is a
+    list_reduce left fold to match Spark's sequential aggregate exactly
+    (0.0 + x1 + x2 … — the leading 0.0 is exact, so folds agree)."""
+
+    def sketch(emb: str) -> str:
+        plane_terms = []
+        for p in range(n_planes):
+            seed = f"'{p}_' || (d - 1)::VARCHAR"
+            w = f"(({_h60(seed)} % 2000 - 1000)::DOUBLE / 1000.0)"
+            dot = (
+                f"list_reduce(list_prepend(0.0::DOUBLE, "
+                f"list_transform(generate_series(1, len({emb})), "
+                f"d -> {emb}[d]::DOUBLE * {w})), (acc, x) -> acc + x)"
+            )
+            plane_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+        return "(" + " + ".join(plane_terms) + ")"
+
+    probe_list = ", ".join(
+        ["qsketch"] + [f"xor(qsketch, {1 << p})" for p in range(n_planes)]
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {sketch('embedding')} AS sketch
+          FROM embeddings WHERE vec_id <> 0
+        ),
+        q AS (
+          SELECT embedding AS qemb, {sketch('embedding')} AS qsketch
+          FROM embeddings WHERE vec_id = 0
+        ),
+        probes AS (
+          SELECT unnest([{probe_list}]) AS sketch, qemb FROM q
+        ),
+        scored AS (
+          SELECT b.vec_id,
+                 list_cosine_similarity(
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(p.qemb, x -> CAST(x AS DOUBLE))) AS cos
+          FROM b JOIN probes p USING (sketch)
+        )
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+               round(cos, 4) AS cos_sim
+        FROM scored
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT {k}
+    """
 
 
 def _build_pagerank_oracle(iters: int = 12) -> str:
@@ -1516,6 +1701,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(hops) AS hops FROM bfs GROUP BY node
         """,
+        "minhash_near_dups": _build_minhash_oracle(),
+        "simhash_docs": _build_simhash_oracle(),
+        "fingerprint_docs": _build_fingerprint_oracle(),
+        "lsh_cosine_topk": _build_lsh_topk_oracle(),
     }
 
 

@@ -88,15 +88,20 @@ def detect_language(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint(text: Column, k: int = 8) -> Column:
-    """Document fingerprint: xxhash64 of the k lexicographically-smallest
+def fingerprint(text: Column, k: int = 8, hash_fn=None) -> Column:
+    """Document fingerprint: hash of the k numerically-smallest
     token-trigram hashes (winnowing-style rolling-hash selection, all
-    JVM-side). Stable under whitespace normalization."""
+    JVM-side). Stable under whitespace normalization.
+
+    ``hash_fn`` defaults to ``F.xxhash64``; pass ``hashing.md5_60`` for the
+    DuckDB-reproducible oracle parameterization (same selection logic)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
-    tri_hashes = F.when(n < 3, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
-        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
+    tri_hashes = F.when(n < 3, F.array(hash_fn(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
     )
     smallest = F.slice(F.array_sort(tri_hashes), 1, k)
-    return F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))
+    return hash_fn(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))

@@ -65,12 +65,20 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = MINHASH_NUM_HASHES,
     shingle_k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) — minhash over word shingles.
 
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod p, min per doc. All JVM-side:
-    xxhash64 builtin + transform/aggregate higher-order functions.
+    h_i(x) = (a_i * base_hash(x) + b_i) mod p, min per doc. All JVM-side:
+    base hash builtin + transform/aggregate higher-order functions.
+
+    ``hash_fn`` defaults to ``F.xxhash64`` (scale path). Pass
+    ``functions.hashing.md5_60`` to run the identical affine/min/banding
+    logic under a hash DuckDB reproduces — the oracle parameterization
+    (both are reduced into 31 bits below, so the arithmetic is unchanged).
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     # One shingle pass: explode → 32 min-aggregates. The hash-agg gets
     # map-side partial aggregation for free, so the shuffle carries one
     # 32-long signature row per (partition, doc) — NOT per shingle. An
@@ -84,7 +92,7 @@ def minhash_signatures(
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
     ).select(
         "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1)).alias("h"),
+        F.pmod(hash_fn("shingle"), F.lit((1 << 31) - 1)).alias("h"),
     )
     aggs = [
         F.min(
@@ -106,13 +114,32 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = MINHASH_BANDS,
     num_hashes: int = MINHASH_NUM_HASHES,
+    max_bucket_size: int = 256,
+    hash_fn=None,
 ) -> DataFrame:
     """Band the signature, bucket-join within band: (doc_a, doc_b,
     n_shared_bands). Shuffle key = (band_id, band_hash) — the LSH blocking
     join; skewed buckets (boilerplate docs) are handled by AQE skew-join.
 
     ``num_hashes`` is taken as a parameter, NOT probed with a ``first()``
-    action — the probe executed the entire signature job once extra."""
+    action — the probe executed the entire signature job once extra.
+
+    Mega-bucket guard: a bucket of B members yields B² pairs in the
+    self-join — 1M identical boilerplate docs in one bucket would be
+    quadratic no matter how AQE splits it. Buckets larger than
+    ``max_bucket_size`` therefore emit a star instead of a clique: every
+    member pairs with the bucket's min doc_id only (B−1 pairs). For dedup
+    clustering (connected components over the candidate graph) a star has
+    the same connectivity as the clique, so no duplicate group is lost;
+    only within-mega-bucket pair *enumeration* is capped. Buckets at or
+    under the threshold are exhaustive, so results on non-degenerate
+    corpora are unchanged.
+
+    ``hash_fn`` defaults to ``F.xxhash64`` (the scale path); pass
+    ``md5_60`` to band with a DuckDB-reproducible hash for oracle checks.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     n = num_hashes
     rows_per_band = n // bands
     banded = sigs.select(
@@ -120,7 +147,7 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    hash_fn(
                         F.concat_ws(
                             ",",
                             *[
@@ -134,18 +161,29 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket stats ride the same (band_id, band_hash) shuffle key; the join
+    # back is key-aligned so AQE coalesces it with the self-join exchange
+    stats = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_bsize"), F.min("doc_id").alias("_bmin")
+    )
+    banded = banded.join(stats, ["band_id", "band_hash"])
+    small = banded.filter(F.col("_bsize") <= max_bucket_size)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    pairs_big = banded.filter(
+        (F.col("_bsize") > max_bucket_size) & (F.col("doc_id") != F.col("_bmin"))
+    ).select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs_small.unionByName(pairs_big)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -176,19 +214,31 @@ def ngram_jaccard(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc, pure JVM: per-token xxhash64, bit-vote via
-    aggregate over the token array, sign → bits.
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """SimHash per doc, pure JVM: per-token hash, bit-vote via aggregate
+    over the token array, sign → bits.
 
     Returns (doc_id, simhash bigint). Near-dup detection = join on rotated
     band prefixes (see ``simhash_candidates``).
+
+    ``hash_fn`` defaults to ``F.xxhash64`` with ``bits=64``; the oracle
+    parameterization is ``md5_60`` with ``bits=60`` (md5_60 carries 60
+    bits of entropy — identical vote/pack logic, DuckDB-reproducible).
     """
-    # Explode tokens once, then 64 per-bit vote aggregates (sum of ±1);
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    # Explode tokens once, then `bits` per-bit vote aggregates (sum of ±1);
     # map-side partial agg keeps the shuffle at one row per (partition, doc).
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", hash_fn("tok").alias("h"))
     votes = [
         F.sum(
             F.when(

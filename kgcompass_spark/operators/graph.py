@@ -544,12 +544,18 @@ def pagerank(
     (knowledge_graph.py:1288-1345: α=0.85, 24 iterations, root-seeded).
 
     Returns (node, score). Per iteration one shuffle (groupBy dst); ranks
-    checkpointed every 5 rounds to cut lineage.
+    checkpointed every 5 rounds to cut lineage. The edge list is
+    localCheckpoint-ed once up front (mirroring candidate_graph_rank /
+    bounded_sssp / connected_components): the loop body joins `e` every
+    iteration, and without the checkpoint each of the 24 iterations would
+    re-evaluate the full upstream triple pipeline.
     """
-    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    e = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).unionByName(
         e.select(F.col("dst").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = nodes.count()
 

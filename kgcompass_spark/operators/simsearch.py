@@ -30,25 +30,58 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k per query: cross-join against broadcast queries.
 
-    Scale: cost = |emb| × |queries| cosine evaluations, fully parallel, no
-    shuffle until the final per-query top-k (row_number over a window keyed
-    by query — shuffle size is |emb|×|queries| rows of (id, score), pruned
-    by a per-partition pre-top-k first).
+    Scale: cost = |emb| × |queries| cosine evaluations, fully parallel. The
+    shuffle is pruned by a per-partition pre-top-k: scored rows are first
+    reduced to k rows per (query, input partition) — grouping on
+    ``spark_partition_id()`` means the hash-agg completes map-side, so the
+    exchange carries at most |partitions|×|queries|×k rows instead of
+    |emb|×|queries|. The final row_number window then ranks that bounded
+    candidate set. Agg buffer is bounded by rows-per-input-partition
+    (sized by spark.sql.files.maxPartitionBytes), not by |emb|.
     """
     scored = emb.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
         cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
+    # Per-partition pre-top-k under the same (cosine desc, vec_id asc) order
+    # the final window uses: sort struct(-cosine, vec_id) ascending, keep k.
+    # Any row pruned here is beaten by k rows that survive, so the union of
+    # partition top-ks is a superset of the global top-k — exact, not approx.
+    local = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_part"))
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("nc"),
+                            F.col("vec_id").alias("vec_id"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.vec_id").alias("vec_id"),
+            (-F.col("t.nc")).alias("cosine"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
 
 
-def _hyperplane_sketch(vec_col, n_planes: int = 8):
+def _hyperplane_sketch(vec_col, n_planes: int = 8, hash_fn=None):
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     dim = F.size(vec_col)
 
     def plane_bit(p: int):
@@ -59,7 +92,7 @@ def _hyperplane_sketch(vec_col, n_planes: int = 8):
                 lambda v, d: v.cast("double")
                 * (
                     (
-                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(p), d)), F.lit(2000))
+                        F.pmod(hash_fn(F.concat_ws("_", F.lit(p), d)), F.lit(2000))
                         - 1000
                     ).cast("double")
                     / 1000.0
@@ -85,19 +118,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    hash_fn=None,
 ) -> DataFrame:
     """ANN: bucket base vectors by hyperplane sign sketch; probe the query's
     bucket plus all 1-bit-flip neighbor buckets (multiprobe) — recall knob
-    without rebuilding. Join is equi on the sketch → hash join, no cross."""
+    without rebuilding. Join is equi on the sketch → hash join, no cross.
+
+    ``hash_fn`` parameterizes the pseudo-random plane weights: default
+    ``F.xxhash64`` (scale path), ``hashing.md5_60`` for the
+    DuckDB-reproducible oracle variant (identical bucketing logic)."""
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        _hyperplane_sketch(F.col(vec_col), n_planes).alias("sketch"),
+        _hyperplane_sketch(F.col(vec_col), n_planes, hash_fn).alias("sketch"),
     )
     q0 = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-        _hyperplane_sketch(F.col(query_vec_col), n_planes).alias("qsketch"),
+        _hyperplane_sketch(F.col(query_vec_col), n_planes, hash_fn).alias("qsketch"),
     )
     probes = q0.select(
         "query_id",

@@ -91,3 +91,62 @@ def test_embedding_near_duplicates(spark, vectors):
     }
     assert (0, 1) in out
     assert all(p in {(0, 1), (2, 3)} for p in out)
+
+
+def test_minhash_mega_bucket_guard(spark):
+    # 400 identical boilerplate docs + 2 distinct: the boilerplate bucket
+    # exceeds max_bucket_size=64, so it emits a star to the min doc_id
+    # (B-1 pairs), not the B*(B-1)/2 clique — connectivity preserved,
+    # enumeration capped.
+    rows = [(i, "boilerplate footer text repeated on every page verbatim")
+            for i in range(400)]
+    rows += [(1000, "unique content one about spark"),
+             (1001, "unique content two about ducks")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    pairs = minhash_lsh_candidates(sigs, max_bucket_size=64).collect()
+    boiler = [r for r in pairs if r["doc_a"] == 0]
+    assert len(boiler) == 399                      # star, not clique
+    assert len(pairs) == 399                       # no non-keeper pairs
+    assert all(r["n_shared_bands"] == 8 for r in boiler)
+
+
+def test_minhash_guard_no_effect_on_small_buckets(docs):
+    sigs = minhash_signatures(docs)
+    base = {(r["doc_a"], r["doc_b"], r["n_shared_bands"])
+            for r in minhash_lsh_candidates(sigs).collect()}
+    guarded = {(r["doc_a"], r["doc_b"], r["n_shared_bands"])
+               for r in minhash_lsh_candidates(sigs, max_bucket_size=2).collect()}
+    # with threshold 2 the identical pair (0,1) bucket is exactly at the
+    # boundary; raise threshold -> identical results
+    big = {(r["doc_a"], r["doc_b"], r["n_shared_bands"])
+           for r in minhash_lsh_candidates(sigs, max_bucket_size=256).collect()}
+    assert big == base
+
+
+def test_md5_family_matches_logic(spark, docs):
+    # the md5_60 oracle parameterization runs the same banding logic:
+    # identical docs still share all 8 bands under either hash family
+    from kgcompass_spark.functions.hashing import md5_60
+
+    sigs = minhash_signatures(docs, hash_fn=md5_60)
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+             for r in minhash_lsh_candidates(sigs, hash_fn=md5_60).collect()}
+    assert pairs[(0, 1)] == 8
+    out = simhash(docs, bits=60, hash_fn=md5_60).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in out}
+    assert by_id[0] == by_id[1]
+    assert all(0 <= v < (1 << 60) for v in by_id.values())
+
+
+def test_brute_force_pre_topk_matches_window(spark, vectors):
+    # the per-partition pre-top-k prune must be exact: repartition the base
+    # so multiple partitions contribute, compare against k = all
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id long, query_vec array<double>")
+    base = vectors.repartition(4)
+    got = {(r["vec_id"], r["rank"])
+           for r in brute_force_topk(base, q, k=3).collect()}
+    full = brute_force_topk(vectors.coalesce(1), q, k=3)
+    want = {(r["vec_id"], r["rank"]) for r in full.collect()}
+    assert got == want

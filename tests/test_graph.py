@@ -83,3 +83,33 @@ def test_personalized_pagerank_root_bias(spark):
     out = {r["node"]: r["score"] for r in pagerank(e, iters=12, personalized_root="r").collect()}
     assert out["r"] == 1.0
     assert out["a"] > out["b"]
+
+
+def test_pagerank_checkpoints_edge_lineage(spark, tmp_path):
+    # The edge list must be materialized ONCE before the power loop —
+    # without the localCheckpoint, all 12 iterations re-evaluate the
+    # upstream lineage. Pin via a side-effecting mapInPandas stage whose
+    # invocation count is written to disk.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.operators.graph import pagerank
+
+    marker = tmp_path / "evals"
+    marker.mkdir()
+
+    def counted(batches):
+        import os
+        import uuid
+        (marker / f"{os.getpid()}_{uuid.uuid4().hex}").touch()
+        yield from batches
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subj string, obj string"
+    ).withColumn("predicate", F.lit("p")).withColumn("weight", F.lit(1.0))
+    slow = edges.coalesce(1).mapInPandas(counted, edges.schema)
+    out = pagerank(slow, iters=12)
+    assert out.count() == 3
+    # one evaluation for the eager edge checkpoint; nodes/out_deg/loop all
+    # read the checkpoint, never the python stage again
+    assert len(list(marker.iterdir())) == 1
