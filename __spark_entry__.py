@@ -824,6 +824,115 @@ def _ranked_related(spark, sf_dir):
     )
 
 
+_RR_ROOT_TEXT = (
+    "crash in proc_7 when rendering n3.py widgets; see also proc_11 regression"
+)
+
+
+def _ranked_related_fixture(spark, sf_dir):
+    """G4/T2-T7 blend oracle: ranked_related_entities with FIXTURE
+    embeddings (node_embeddings table + root_vec — no encoder UDF), over a
+    deterministic nation/supplier KG where the bounded-SSSP costs are
+    closed-form (every edge weight 0.9, max_cost 2.0 ⇒ exactly the 1- and
+    2-hop frontier). Verifies end-to-end: target filter (methods, LEAF
+    classes, issues), test-name exclusion, cos×W + lev×(1−W) blend with
+    DECAY^cost (knowledge_graph.py:1140-1148), identifier boosts, and the
+    per-type rank window — all against plain SQL."""
+    from kgcompass_spark.plans.related import ranked_related_entities
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    emb = _t(spark, sf_dir, "embeddings")
+    nk = F.col("n_nationkey").cast("string")
+    sk = F.col("s_suppkey").cast("string")
+    snk = F.col("s_nationkey").cast("string")
+    root = F.lit("issue:root")
+    w9 = F.lit(0.9).alias("weight")
+    no_src = F.lit("").alias("src_url")
+    e_root_file = n.select(
+        root.alias("subj"), F.lit("mentions").alias("predicate"),
+        F.concat(F.lit("file:n"), nk).alias("obj"), w9, no_src,
+    )
+    e_file_m = s.select(
+        F.concat(F.lit("file:n"), snk).alias("subj"),
+        F.lit("contains method").alias("predicate"),
+        F.concat(F.lit("method:s"), sk).alias("obj"), w9, no_src,
+    )
+    e_file_c = n.select(
+        F.concat(F.lit("file:n"), nk).alias("subj"),
+        F.lit("contains class").alias("predicate"),
+        F.concat(F.lit("class:c"), nk).alias("obj"), w9, no_src,
+    )
+    e_root_issue = n.filter(F.col("n_nationkey") % 3 == 0).select(
+        root.alias("subj"), F.lit("references").alias("predicate"),
+        F.concat(F.lit("issue:i"), nk).alias("obj"), w9, no_src,
+    )
+    # classes in nations ≡ 0 (mod 4) contain methods → non-leaf, excluded
+    e_class_m = s.filter(F.col("s_nationkey") % 4 == 0).select(
+        F.concat(F.lit("class:c"), snk).alias("subj"),
+        F.lit("contains method").alias("predicate"),
+        F.concat(F.lit("method:s"), sk).alias("obj"), w9, no_src,
+    )
+    triples = (
+        e_root_file.unionByName(e_file_m).unionByName(e_file_c)
+        .unionByName(e_root_issue).unionByName(e_class_m)
+    )
+    entities = s.select(
+        F.concat(F.lit("method:s"), sk).alias("entity_id"),
+        F.concat(F.lit("proc_"), sk).alias("name"),
+        F.concat(F.lit("def proc_"), sk, F.lit("(x)")).alias("signature"),
+        F.col("s_name").alias("doc_string"),
+        F.concat(F.lit("src/n"), snk, F.lit(".py")).alias("file_path"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("class:c"), nk).alias("entity_id"),
+            F.concat(F.lit("Widget"), nk).alias("name"),
+            F.concat(F.lit("class Widget"), nk).alias("signature"),
+            F.col("n_name").alias("doc_string"),
+            F.concat(F.lit("src/n"), nk, F.lit(".py")).alias("file_path"),
+        )
+    )
+    issue_texts = n.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.concat(F.lit("i"), nk).alias("url"),
+        F.concat(F.lit("issue about "), F.col("n_name")).alias("text"),
+    )
+    node_embeddings = (
+        s.select(
+            F.concat(F.lit("method:s"), sk).alias("node"),
+            (F.col("s_suppkey") % 50).alias("vec_id"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("class:c"), nk).alias("node"),
+                ((F.col("n_nationkey") * 7 + 3) % 50).alias("vec_id"),
+            )
+        )
+        .unionByName(
+            n.filter(F.col("n_nationkey") % 3 == 0).select(
+                F.concat(F.lit("issue:i"), nk).alias("node"),
+                ((F.col("n_nationkey") * 5 + 1) % 50).alias("vec_id"),
+            )
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("node", "embedding")
+    )
+    root_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    rr = ranked_related_entities(
+        triples, entities, "root", _RR_ROOT_TEXT,
+        issue_texts=issue_texts, max_cost=2.0,
+        identifier_boost_weight=0.2, evidence_path_boost_weight=0.0,
+        unsup_gnn_mode="off",
+        node_embeddings=node_embeddings, root_vec=root_vec,
+    )
+    return rr.select(
+        "node", "entity_type", F.round("similarity", 4).alias("similarity"),
+        F.round("distance", 4).alias("distance"), "hops", "type_rank",
+    )
+
+
 def _kg_full_predicates(spark, sf_dir):
     """Full pipeline incl. commit / repair-experience / documentation
     context stages — per-predicate counts; all 17 forward predicate pairs
@@ -915,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_pagerank": _g6_pagerank,
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "ranked_related_fixture": _ranked_related_fixture,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -1099,6 +1209,72 @@ def _build_lsh_topk_oracle(n_planes: int = 8, k: int = 10) -> str:
         FROM scored
         ORDER BY cos DESC, vec_id ASC
         LIMIT {k}
+    """
+
+
+def _build_ranked_related_oracle() -> str:
+    """DuckDB twin of _ranked_related_fixture: closed-form SSSP costs
+    (0.9 per hop on the 1-/2-hop frontier), cos×0.3 + lev×0.7 blend with
+    0.6^cost decay (issues: cos only), identifier boosts (+0.2 name,
+    +0.1 file basename when contained in the root text), leaf-class and
+    target-type filters, per-type rank window."""
+    root = _RR_ROOT_TEXT.replace("'", "''")
+    root_low = _RR_ROOT_TEXT.lower().replace("'", "''")
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        rootv AS (SELECT v FROM emb WHERE vec_id = 0),
+        cand AS (
+          SELECT 'method:s' || s_suppkey::VARCHAR AS node,
+                 'method' AS entity_type, 1.8 AS cost, 2 AS hops,
+                 'proc_' || s_suppkey::VARCHAR AS name,
+                 'proc_' || s_suppkey::VARCHAR || ' def proc_'
+                   || s_suppkey::VARCHAR || '(x) ' || s_name AS ntext,
+                 'n' || s_nationkey::VARCHAR || '.py' AS basename,
+                 s_suppkey % 50 AS vec_id
+          FROM supplier
+          UNION ALL
+          SELECT 'class:c' || n_nationkey::VARCHAR, 'class', 1.8, 2,
+                 'Widget' || n_nationkey::VARCHAR,
+                 'Widget' || n_nationkey::VARCHAR || ' class Widget'
+                   || n_nationkey::VARCHAR || ' ' || n_name,
+                 'n' || n_nationkey::VARCHAR || '.py',
+                 (n_nationkey * 7 + 3) % 50
+          FROM nation
+          WHERE NOT (n_nationkey % 4 = 0 AND EXISTS
+                     (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey))
+          UNION ALL
+          SELECT 'issue:i' || n_nationkey::VARCHAR, 'issue', 0.9, 1,
+                 NULL, 'issue about ' || n_name, NULL,
+                 (n_nationkey * 5 + 1) % 50
+          FROM nation WHERE n_nationkey % 3 = 0
+        ),
+        scored AS (
+          SELECT c.node, c.entity_type, c.cost, c.hops,
+            CASE WHEN c.entity_type = 'issue'
+              THEN list_cosine_similarity(e.v, (SELECT v FROM rootv))
+                   * power(0.6, c.cost)
+              ELSE (list_cosine_similarity(e.v, (SELECT v FROM rootv)) * 0.3
+                    + (1.0 - levenshtein('{root}', c.ntext)::DOUBLE
+                             / greatest(len('{root}'), len(c.ntext))) * 0.7)
+                   * power(0.6, c.cost)
+                   + CASE WHEN len(c.name) > 3
+                           AND contains('{root_low}', lower(c.name))
+                          THEN 0.2 ELSE 0.0 END
+                   + CASE WHEN contains('{root_low}', lower(c.basename))
+                          THEN 0.1 ELSE 0.0 END
+            END AS sim
+          FROM cand c JOIN emb e USING (vec_id)
+        )
+        SELECT node, entity_type, round(sim, 4) AS similarity,
+               round(cost, 4) AS distance, hops,
+               row_number() OVER (PARTITION BY entity_type
+                                  ORDER BY sim DESC, cost ASC, node ASC)
+                 AS type_rank
+        FROM scored
+        QUALIFY type_rank <= 500
     """
 
 
@@ -1701,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(hops) AS hops FROM bfs GROUP BY node
         """,
+        "ranked_related_fixture": _build_ranked_related_oracle(),
         "minhash_near_dups": _build_minhash_oracle(),
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),

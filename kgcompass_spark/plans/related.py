@@ -178,11 +178,20 @@ def ranked_related_entities(
     evidence_path_boost_weight: float = 0.0,
     unsup_gnn_mode: str | None = None,
     unsup_gnn_weight: float | None = None,
+    node_embeddings: DataFrame | None = None,
+    root_vec: list | None = None,
 ) -> DataFrame:
     """Returns (node, entity_type, similarity, distance, hops, type_rank),
     deterministic. ``issue_texts``: (url, text) for issue-node similarity
     (the reference embeds title+content; entity nodes use signature +
     docstring as the source-code proxy — our inventory carries no bodies).
+
+    ``node_embeddings``: optional (node, embedding) table of precomputed
+    vectors — the batch-encoded-table path a 100-TB pipeline uses (encode
+    once into a column, rank many times) and the oracle-testable path (no
+    encoder UDF in the plan). Nodes without a vector score cosine 0.
+    ``root_vec``: precomputed root embedding to match; defaults to running
+    the configured encoder on ``root_text``.
 
     ``unsup_gnn_mode``/``unsup_gnn_weight``: the reference's optional
     root-seeded graph-rank blend (knowledge_graph.py:1216-1228). None reads
@@ -245,9 +254,20 @@ def ranked_related_entities(
     df = df.withColumn("_ntext", ntext)
 
     # root embedding computed once driver-side, broadcast as a literal
-    root_vec = encode_one(root_text)
+    if root_vec is None:
+        root_vec = encode_one(root_text)
     root_emb = F.array(*[F.lit(float(x)) for x in root_vec])
-    cos = cosine_similarity(embed_text_udf(F.col("_ntext")), root_emb)
+    if node_embeddings is not None:
+        df = df.join(
+            F.broadcast(
+                node_embeddings.select("node", F.col("embedding").alias("_nemb"))
+            ),
+            "node",
+            "left",
+        )
+        cos = F.coalesce(cosine_similarity(F.col("_nemb"), root_emb), F.lit(0.0))
+    else:
+        cos = cosine_similarity(embed_text_udf(F.col("_ntext")), root_emb)
     lev = levenshtein_similarity(
         F.lit(root_text[:MAX_SIMILARITY_TEXT_CHARS]),
         F.substring(F.col("_ntext"), 1, MAX_SIMILARITY_TEXT_CHARS),
