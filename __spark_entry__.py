@@ -824,6 +824,53 @@ def _ranked_related(spark, sf_dir):
     )
 
 
+def _result_documents(spark, sf_dir):
+    """Per-instance result-document export (fl.py:465-468, 2719-2733;
+    knowledge_graph.py:1179-1262): the full batched pipeline — KG build →
+    ranked_related_all over EVERY issue → one reference-shaped nested
+    document per root (related_entities methods/classes/issues with the
+    root inserted at similarity 2.0, artifact_stats, kg_params, run_meta).
+    Rows-only: blocked from a DuckDB oracle by the HTML-extraction +
+    encoder UDF battery upstream; document assembly itself is pinned by
+    the schema fixture test (tests/test_results.py)."""
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.plans.related import ranked_related_all
+    from kgcompass_spark.plans.results import result_documents
+    from kgcompass_spark.sources.datagen import CUTOFF, corpus_dataframes
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=120)
+    out = build_kg(pages, entities, cutoff=CUTOFF)
+    issue_texts = out["prepared"].select("url", F.col("clean_text").alias("text"))
+    ranked = ranked_related_all(
+        out["triples"], entities, issue_texts, max_cost=2.0, limit=25
+    )
+    issue_meta = out["prepared"].select(
+        "url",
+        F.substring_index(F.col("clean_text"), "\n", 1).alias("title"),
+        F.col("clean_text").alias("content"),
+    )
+    docs = result_documents(
+        ranked, entities, issue_meta,
+        repo_name="alphacore/alphacore", benchmark_name="fixture",
+        saved_at="1970-01-01T00:00:00+00:00",
+    )
+    return docs.select(
+        "instance_id",
+        F.size("related_entities.methods").alias("n_methods"),
+        F.size("related_entities.classes").alias("n_classes"),
+        F.size("related_entities.issues").alias("n_issues"),
+        F.col("related_entities.issues")[0]["similarity"].alias("root_sim"),
+        F.round(
+            F.coalesce(
+                F.col("related_entities.methods")[0]["similarity"], F.lit(0.0)
+            ),
+            4,
+        ).alias("top_method_sim"),
+        F.col("kg_params.decay_factor").alias("decay_factor"),
+        F.col("run_meta.saved_at").alias("saved_at"),
+    )
+
+
 _RR_ROOT_TEXT = (
     "crash in proc_7 when rendering n3.py widgets; see also proc_11 regression"
 )
@@ -1035,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
+        "result_documents": _result_documents,
     }
 
 
