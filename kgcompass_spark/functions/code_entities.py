@@ -380,10 +380,57 @@ def _line_of(source: str, pos: int) -> int:
     return source.count("\n", 0, pos) + 1
 
 
+def _mask_strings_comments(src: str) -> str:
+    """Length- and newline-preserving copy of ``src`` with the contents of
+    string/char literals and ``//`` / ``/* */`` comments blanked to spaces.
+
+    The structural scan (declaration regexes + brace matching) runs on the
+    masked text so a ``}`` inside ``"a } b"`` or ``// }`` can no longer
+    corrupt every following span — the bug class the reference's own
+    ``_find_block_end`` brace counting is blind to. Positions and line
+    numbers are identical between the two strings, so doc-comment lookups
+    still read the ORIGINAL source at the same offsets. Not handled (noted
+    limitation): Java text blocks (\"\"\") and C++ raw strings R"(...)".
+    """
+    out = list(src)
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if c == "/" and nxt == "/":
+            j = src.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and nxt == "*":
+            j = src.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, min(j, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j
+        elif c in ('"', "'"):
+            j = i + 1
+            while j < n:
+                if src[j] == "\\":
+                    j += 2
+                    continue
+                if src[j] == c or src[j] == "\n":  # newline: unterminated
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = min(j, n) + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _brace_end_line(source: str, open_pos: int) -> int:
-    """Line of the brace matching the first '{' at/after ``open_pos``
-    (crude: no string/comment awareness — the reference's regex patterns
-    have the same limitation)."""
+    """Line of the brace matching the first '{' at/after ``open_pos``.
+    Callers pass the string/comment-MASKED source (see
+    ``_mask_strings_comments``), so literal braces can't skew the depth."""
     start = source.find("{", open_pos)
     if start == -1:
         return _line_of(source, open_pos)
@@ -401,8 +448,7 @@ def _brace_end_line(source: str, open_pos: int) -> int:
 
 def _brace_span_end(source: str, open_pos: int) -> int:
     """Char index of the brace matching the first '{' at/after
-    ``open_pos`` (crude: no string/comment awareness — the reference's
-    ``_find_block_end`` brace counting has the same limitation)."""
+    ``open_pos``. Callers pass the string/comment-MASKED source."""
     start = source.find("{", open_pos)
     if start == -1:
         return open_pos
@@ -453,17 +499,29 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
     under the class name (ConstructorDeclaration,
     language_factory.py:955-1010). ``namespaces`` adds C++
     ``namespace X {`` spans to the qualification chain without emitting
-    rows for them."""
+    rows for them.
+
+    Declaration regexes and brace matching run on the string/comment-MASKED
+    source (``_mask_strings_comments``) — braces or declaration-shaped text
+    inside literals and comments are invisible to the scan. Doc comments
+    are read from the ORIGINAL source at the same offsets (masking is
+    position-preserving)."""
     source = source or ""
+    masked = _mask_strings_comments(source)
     rows: list[dict] = []
     # (short, start_pos, end_pos, emit_row) — namespaces qualify but don't emit
     scopes: list[tuple[str, int, int, bool, str]] = []
     if namespaces:
-        for m in _NAMESPACE_RE.finditer(source):
-            scopes.append((m.group(1), m.start(), _brace_span_end(source, m.end() - 1), False, ""))
+        for m in _NAMESPACE_RE.finditer(masked):
+            scopes.append((m.group(1), m.start(), _brace_span_end(masked, m.end() - 1), False, ""))
     class_matches = []
-    for m in class_re.finditer(source):
-        end = _brace_span_end(source, m.end())
+    for m in class_re.finditer(masked):
+        # m.end() - 1: the C++ class regex consumes the '{' (so the scan
+        # must start AT it, not after it — after it, the first '{' found
+        # is the first METHOD's and the class span collapses to that
+        # method's); the Java regex stops at the name, where the forward
+        # find reaches the same class brace either way
+        end = _brace_span_end(masked, m.end() - 1)
         scopes.append((m.group(2), m.start(), end, True, m.group(1)))
         class_matches.append(m)
     scopes.sort(key=lambda s: (s[1], -s[2]))
@@ -491,12 +549,12 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
         return best[1] if best else None
 
     seen: set[tuple[int, str]] = set()
-    for m in method_re.finditer(source):
+    for m in method_re.finditer(masked):
         mname = m.group(1)
         if mname in _CTRL_KEYWORDS:
             continue
         s_line = _line_of(source, m.start())
-        e_line = _brace_end_line(source, m.end() - 1)
+        e_line = _brace_end_line(masked, m.end() - 1)
         owner = _owner(m.start())
         qname = f"{owner}.{mname}" if owner else (f"{module}.{mname}" if module else mname)
         seen.add((s_line, mname))
@@ -508,14 +566,14 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
     if constructors:
         for (cshort, cq, cs, ce) in classes:
             ctor_re = _re.compile(_JAVA_CTOR_TMPL % _re.escape(cshort))
-            for m in ctor_re.finditer(source, cs, ce + 1):
+            for m in ctor_re.finditer(masked, cs, ce + 1):
                 s_line = _line_of(source, m.start())
                 if (s_line, cshort) in seen:
                     continue
                 # the constructor must belong to THIS class, not a nested one
                 if _owner(m.start()) != cq:
                     continue
-                e_line = _brace_end_line(source, m.end() - 1)
+                e_line = _brace_end_line(masked, m.end() - 1)
                 seen.add((s_line, cshort))
                 rows.append(dict(
                     file_path=file_path, kind="method", name=f"{cq}.{cshort}",

@@ -244,3 +244,66 @@ def test_cpp_namespace_and_nested_qualification():
     assert rows["src.acme.buffer.free_fn"]["kind"] == "method"
     # no rows for the namespaces themselves
     assert not any(n.endswith(".acme") or n.endswith(".util") for n in rows)
+
+
+def test_java_braces_in_strings_and_comments():
+    # a "}" inside a string literal or comment must not close the class
+    # span early — the scan runs on string/comment-masked source
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = """package com.example;
+
+public class Fmt {
+    // a stray } in a line comment
+    /* and one here } too */
+    public String wrap(String s) {
+        return "{" + s + "}";
+    }
+
+    public String tail() {
+        char c = '}';
+        return "done }";
+    }
+}
+"""
+    rows = {r["short_name"]: r for r in parse_java_entities("src/Fmt.java", src)}
+    assert rows["Fmt"]["end_line"] == 14          # the real closing brace
+    assert rows["wrap"]["name"] == "com.example.Fmt.wrap"
+    assert rows["wrap"]["end_line"] == 8
+    assert rows["tail"]["name"] == "com.example.Fmt.tail"
+    assert rows["tail"]["end_line"] == 13
+
+
+def test_java_declarations_inside_comments_ignored():
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = """package com.example;
+// public class Ghost { }
+/* public int phantom() { return 1; } */
+public class Real {
+    public int live() { return 2; }
+}
+"""
+    rows = {r["short_name"] for r in parse_java_entities("src/Real.java", src)}
+    assert rows == {"Real", "live"}
+
+
+def test_cpp_braces_in_strings():
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = """namespace fmt {
+class Writer {
+public:
+    void brace() {
+        emit("}");
+    }
+    void after() {
+        emit("ok");
+    }
+};
+}
+"""
+    rows = {r["short_name"]: r for r in parse_cpp_entities("lib/writer.cpp", src)}
+    assert rows["Writer"]["end_line"] == 10
+    assert "brace" in rows and "after" in rows
+    assert rows["after"]["name"].endswith("fmt.Writer.after")
