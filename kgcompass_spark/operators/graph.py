@@ -315,6 +315,7 @@ def seeded_support(
                     ),
                 ).alias("paths")
             )
+        last_round = h == max_hops
         nxt = fr.join(e, fr["node"] == e["src"]).select(*nxt_cols)
         merged = best.unionByName(nxt)
         if carry:
@@ -350,13 +351,19 @@ def seeded_support(
                     1,
                     path_k,
                 ).alias("paths"),
-            ).localCheckpoint(eager=True)
-        else:
-            new_best = (
-                merged.groupBy("root", "seed", "node")
-                .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True)
             )
+        else:
+            new_best = merged.groupBy("root", "seed", "node").agg(
+                F.min("hops").alias("hops")
+            )
+        if last_round:
+            # the delta frontier exists only to feed the NEXT round — on
+            # the final round it would be a full-state join + checkpoint +
+            # count that nothing consumes; the un-checkpointed state flows
+            # straight into the final reduction below
+            best = new_best
+            break
+        new_best = new_best.localCheckpoint(eager=True)
         changed = new_best.join(
             best.select("root", "seed", "node", F.col("hops").alias("_oh")),
             ["root", "seed", "node"],
@@ -367,28 +374,50 @@ def seeded_support(
         n_front = frontier.count()
         if n_front == 0:
             break
-    dist = best.groupBy("root", "node").agg(F.min("hops").alias("distance"))
-    at_min = best.join(dist, ["root", "node"]).filter(
-        F.col("hops") == F.col("distance")
+    # --- final per-(root, node) reduction: ONE hash-agg ---------------------
+    # (was: min-hop groupBy + join-back + second groupBy — three exchanges
+    # on the same key over the full BFS state; the per-key row count is
+    # bounded by the seed fan-in, so a collect_list fits comfortably)
+    if carry:
+        g = best.groupBy("root", "node").agg(
+            F.collect_list(F.struct("hops", "seed", "paths")).alias("_l")
+        )
+    else:
+        g = best.groupBy("root", "node").agg(
+            F.collect_list(F.struct("hops", "seed")).alias("_l")
+        )
+    g = g.withColumn(
+        "_minh", F.array_min(F.transform(F.col("_l"), lambda x: x["hops"]))
+    )
+    at_min = F.filter(F.col("_l"), lambda x: x["hops"] == F.col("_minh"))
+    support = F.size(
+        F.array_distinct(F.transform(at_min, lambda x: x["seed"]))
     )
     if not carry:
-        return at_min.groupBy("root", "node", "distance").agg(
-            F.countDistinct("seed").alias("support")
+        return g.select(
+            "root",
+            "node",
+            F.col("_minh").alias("distance"),
+            support.alias("support"),
         )
-    agg = at_min.groupBy("root", "node", "distance").agg(
-        F.countDistinct("seed").alias("support"),
+    paths = F.transform(
         F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("paths")))),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(F.transform(at_min, lambda x: x["paths"]))
+                )
+            ),
             1,
             path_k,
-        ).alias("_ps"),
+        ),
+        lambda s: s["p"],
     )
-    return agg.select(
+    return g.select(
         "root",
         "node",
-        "distance",
-        "support",
-        F.transform(F.col("_ps"), lambda s: s["p"]).alias("paths"),
+        F.col("_minh").alias("distance"),
+        support.alias("support"),
+        paths.alias("paths"),
     )
 
 

@@ -222,24 +222,26 @@ def evidence_export_all(
     ).filter(F.col("node") != F.col("root"))
     typed = _typed_candidates(support, entities)
     wcap = Window.partitionBy("root").orderBy(*_export_order())
-    capped = (
-        typed.withColumn("_cr", F.row_number().over(wcap))
-        .filter(F.col("_cr") <= precap)
-        .drop("_cr")
+    # ONE per-root sort: the cap row_number over the export order IS the
+    # rank after the filter (row_number of the surviving rows is unchanged
+    # by dropping rows ranked below them) — recomputing it was a second
+    # full sort+exchange of the candidate set
+    capped = typed.withColumn("_cr", F.row_number().over(wcap)).filter(
+        F.col("_cr") <= precap
     )
     base_cols = [
         "root", "node", "entity_type", "name", "file_path", "distance",
         "support", "anchor", "rank", "type_rank", "best_path", "path_details",
     ]
     if entities is not None and issue_texts is not None:
-        ranked = rank_evidence_full_all(capped, None, issue_texts)
+        ranked = rank_evidence_full_all(capped.drop("_cr"), None, issue_texts)
         wt = Window.partitionBy("root", "entity_type").orderBy(F.asc("rank"))
         return (
             ranked.withColumn("type_rank", F.row_number().over(wt))
             .filter(F.col("type_rank") <= cap)
             .select(*base_cols, "n_exact", "n_path_tok", "n_tok", "boilerplate")
         )
-    ranked = capped.withColumn("rank", F.row_number().over(wcap))
+    ranked = capped.withColumnRenamed("_cr", "rank")
     wt = Window.partitionBy("root", "entity_type").orderBy(F.asc("rank"))
     return (
         ranked.withColumn("type_rank", F.row_number().over(wt))
