@@ -91,7 +91,6 @@ def main() -> None:
         out["triples"].count()
         out["prepared"].unpersist()
         out["mentions"].unpersist()
-        out["issue_tokens"].unpersist()
 
     kg_full_run()  # warm-up
     full_sec = None

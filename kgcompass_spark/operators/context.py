@@ -13,11 +13,12 @@ Emits the 8 predicate pairs the core link battery doesn't produce:
 Reference semantics (fl.py:2317-2560): per issue, score every historical
 commit / doc file by counting issue context tokens contained in the artifact
 text, keep the top-N, emit edges. The reference is a driver-side loop over
-``repo.iter_commits`` per issue; the Spark restatement is one token-blocked
-inverted-index join for ALL issues at once:
+``repo.iter_commits`` per issue; the Spark restatement scores ALL issues at
+once:
 
-  issue tokens (explode) ⋈ broadcast(artifact token index) → count distinct
-  matched tokens per (issue, artifact) → rank/limit per issue (window).
+  per-page token array (one regex pass) × broadcast(artifact token arrays)
+  → size(array_intersect) per (issue, artifact) → rank/limit per issue
+  (window). No explode, no pair-row shuffle — see ``score_artifacts``.
 
 Deviation, documented: the reference tests substring containment
 (``token in text_lower``); we match whole tokens of the same alphabet on
@@ -86,11 +87,23 @@ def _token_rows(df: DataFrame, keys: list[str], text_col) -> DataFrame:
 
 
 def issue_token_rows(issues: DataFrame) -> DataFrame:
-    """(url, warc_ts, tok) — the exploded issue-side token index. Computed
-    ONCE per pipeline and shared by all three context stages (each stage
-    re-deriving it would run the token regex battery over every page
-    three times — measured at ~3× the stage cost at 48k pages)."""
+    """(url, warc_ts, tok) — the exploded issue-side token index (legacy
+    shape; the scoring path now consumes :func:`issue_token_arrays`)."""
     return _token_rows(issues, ["url", "warc_ts"], F.col("clean_text"))
+
+
+def issue_token_arrays(issues: DataFrame) -> DataFrame:
+    """(url, warc_ts, _itoks) — the per-page distinct context-token ARRAY.
+    One regex-battery pass per page; the scoring join consumes the array
+    in place, so no explode, no token-index materialization."""
+    return issues.select(
+        "url", "warc_ts", context_tokens(F.col("clean_text")).alias("_itoks")
+    )
+
+
+# vocabulary-prune guard: above this many distinct artifact tokens the
+# per-row literal-array intersect would cost more than it saves
+_VOCAB_PRUNE_MAX = 8192
 
 
 def score_artifacts(
@@ -98,28 +111,52 @@ def score_artifacts(
     artifacts: DataFrame,
     id_col: str,
     text_col,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
 ) -> DataFrame:
-    """Token-blocked context scoring: (url, warc_ts, <id_col>, score) where
-    score = |issue tokens ∩ artifact tokens| (fl.py:247-251 restated).
+    """Context scoring: (url, warc_ts, <id_col>, score > 0) where score =
+    |issue tokens ∩ artifact tokens| (fl.py:247-251 restated).
 
-    Artifact token index is broadcast — no shuffle on the issue side except
-    the final count aggregate, which map-side combines. The pair table this
-    join emits is only ~|shared tokens| rows per (issue, artifact) — an
-    alternative token → artifact-bitmask strategy (join ≤1 row per issue
-    token, then per-bit sums) was measured SLOWER at both 48k pages
-    (1.5 s vs 2.3 s) and 480k pages (5.5 s vs 6.7 s): the explosion factor
-    here is small and the extra mask-build jobs and wide aggregate don't
-    pay for themselves. Pass ``issue_tokens`` (from ``issue_token_rows``)
-    to share one token pass across stages.
+    Implementation: one broadcast nested-loop join of the per-page token
+    ARRAY against the (small, broadcast) artifact token arrays, scoring
+    ``size(array_intersect(...))`` in place — no token explode, no pair-row
+    shuffle, no aggregate. The previous explode → broadcast-join → count
+    form generated Σ|shared| pair rows (tens of millions at 48k pages) and
+    a full hash-agg exchange; this computes the same counts with |pages| ×
+    |artifacts| narrow rows. When the distinct artifact vocabulary is small
+    (≤ ``_VOCAB_PRUNE_MAX`` — collected driver-side from the BROADCAST
+    side, so bounded by the same ~10 MB that makes the join a broadcast),
+    issue arrays are pre-pruned to that vocabulary, which shrinks the
+    per-row intersect to O(|shared candidates|).
     """
-    if issue_tokens is None:
-        issue_tokens = issue_token_rows(issues)
-    art_toks = _token_rows(artifacts, [id_col], text_col)
+    if issue_arrays is None:
+        issue_arrays = issue_token_arrays(issues)
+    art_arr = artifacts.select(
+        F.col(id_col), context_tokens(text_col).alias("_atoks")
+    )
+    vocab = [
+        r[0]
+        for r in art_arr.select(F.explode("_atoks").alias("t")).distinct().collect()
+    ]
+    it = issue_arrays
+    if 0 < len(vocab) <= _VOCAB_PRUNE_MAX:
+        it = it.select(
+            "url",
+            "warc_ts",
+            F.array_intersect(
+                "_itoks", F.array(*[F.lit(v) for v in sorted(vocab)])
+            ).alias("_itoks"),
+        )
     return (
-        issue_tokens.join(F.broadcast(art_toks), "tok")
-        .groupBy("url", "warc_ts", id_col)
-        .agg(F.count("*").alias("score"))
+        it.crossJoin(F.broadcast(art_arr))
+        .select(
+            "url",
+            "warc_ts",
+            F.col(id_col),
+            # cast: the previous count(*) implementation produced bigint —
+            # keep the schema identical for oracle/schema pins downstream
+            F.size(F.array_intersect("_itoks", "_atoks")).cast("long").alias("score"),
+        )
+        .filter(F.col("score") > 0)
     )
 
 
@@ -194,7 +231,7 @@ def commit_context_scores(
     issues: DataFrame | None,
     commits: DataFrame,
     max_files: int = COMMIT_CONTEXT_MAX_FILES,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
     raw_scored: DataFrame | None = None,
 ) -> DataFrame:
     """Shared (issue, commit) scoring for the commit AND repair-experience
@@ -211,7 +248,7 @@ def commit_context_scores(
             eligible.withColumn("_st", _commit_score_text()),
             "commit_id",
             F.col("_st"),
-            issue_tokens=issue_tokens,
+            issue_arrays=issue_arrays,
         )
     return (
         raw_scored.join(
@@ -229,7 +266,7 @@ def link_commit_context(
     max_files: int = COMMIT_CONTEXT_MAX_FILES,
     link_files_cap: int = COMMIT_LINK_FILES_CAP,
     scored: DataFrame | None = None,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
     selected: DataFrame | None = None,
 ) -> DataFrame:
     """Historical-commit context (fl.py:2412-2500).
@@ -251,7 +288,7 @@ def link_commit_context(
     eligible = eligible_commits(commits, max_files)
     if selected is None:
         if scored is None:
-            scored = commit_context_scores(issues, commits, max_files, issue_tokens)
+            scored = commit_context_scores(issues, commits, max_files, issue_arrays)
         w = Window.partitionBy("url").orderBy(
             F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")
         )
@@ -328,7 +365,7 @@ def link_repair_experience(
     min_score: int = REPAIR_EXPERIENCE_MIN_SCORE,
     max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
     scored: DataFrame | None = None,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
     selected: DataFrame | None = None,
 ) -> DataFrame:
     """Historical repair-experience context (fl.py:2317-2410).
@@ -354,7 +391,7 @@ def link_repair_experience(
     )
     if selected is None:
         if scored is None:
-            scored = commit_context_scores(issues, commits, issue_tokens=issue_tokens)
+            scored = commit_context_scores(issues, commits, issue_arrays=issue_arrays)
         scored = scored.join(
             F.broadcast(repair.select("commit_id")), "commit_id", "left_semi"
         ).filter(F.col("score") >= min_score)
@@ -398,16 +435,19 @@ def commit_repair_selections(
     repair_min_score: int = REPAIR_EXPERIENCE_MIN_SCORE,
     repair_max_files: int = REPAIR_EXPERIENCE_MAX_FILES,
 ) -> tuple[DataFrame, DataFrame]:
-    """Both per-issue selections from ONE shuffle: the commit-stage top-N
-    window partitions by url; the repair window by (url, repair-gate flag).
-    ``HashPartitioning(url)`` satisfies clustering on (url, flag), so
-    Catalyst plans a single exchange with two sorts instead of two
-    window exchanges over the scored table (~605k rows at bench density).
-    Selection semantics are identical to the stage-local windows: the
-    repair rank is computed WITHIN the gated rows (flag partitions), so
-    non-repair rows never consume repair ranks. Returns
-    (selected_commits, selected_repair), both (url, commit_id), shared via
-    one persist."""
+    """Both per-issue selections from ONE shuffle — a hash-agg top-k, not
+    a window: per url the scored rows collapse to two ≤k arrays
+    (``slice(array_sort(collect_list(struct)), 1, k)``), so the exchange
+    is a plain aggregate with map-side partial lists and NO sort of the
+    scored table (~1.5M rows at bench density; the per-url list is ≤
+    |commits|, so the agg buffer is bounded by the broadcast-sized artifact
+    count). Sort order (score desc, committed_ts desc, commit_id asc) is
+    encoded as an ascending struct key (negated score / epoch). Selection
+    semantics are identical to the old per-url windows: the repair rank is
+    computed WITHIN the gated rows (the conditional collect drops ungated
+    rows before ranking). Returns (selected_commits, selected_repair), both
+    (url, commit_id), derived narrowly from one persisted 1-row-per-url
+    aggregate."""
     from ..config import REPAIR_EXPERIENCE_REGEX
 
     repair_ids = (
@@ -421,27 +461,30 @@ def commit_repair_selections(
         F.coalesce(F.col("_rep"), F.lit(False))
         & (F.col("score") >= repair_min_score),
     )
-    order = [F.desc("score"), F.desc("committed_ts"), F.asc("commit_id")]
-    w_all = Window.partitionBy("url").orderBy(*order)
-    w_rep = Window.partitionBy("url", "_rep_ok").orderBy(*order)
-    sel = _share(
-        sc.select(
-            "url",
-            "commit_id",
-            "_rep_ok",
-            F.row_number().over(w_all).alias("_rn_a"),
-            F.row_number().over(w_rep).alias("_rn_r"),
-        ).filter(
-            (F.col("_rn_a") <= commit_limit)
-            | (F.col("_rep_ok") & (F.col("_rn_r") <= repair_limit))
+    # ascending struct order ≡ (score desc, committed_ts desc, commit_id
+    # asc); the double cast keeps microsecond timestamps exactly (53-bit
+    # mantissa ≫ the ~51 bits epoch-micros need)
+    key = F.struct(
+        (-F.col("score")).alias("k1"),
+        (-F.col("committed_ts").cast("double")).alias("k2"),
+        F.col("commit_id").alias("cid"),
+    )
+    agg = _share(
+        sc.groupBy("url").agg(
+            F.slice(F.array_sort(F.collect_list(key)), 1, commit_limit).alias("_ta"),
+            F.slice(
+                F.array_sort(F.collect_list(F.when(F.col("_rep_ok"), key))),
+                1,
+                repair_limit,
+            ).alias("_tr"),
         )
     )
-    selected_commits = sel.filter(F.col("_rn_a") <= commit_limit).select(
-        "url", "commit_id"
+    selected_commits = agg.select("url", F.explode("_ta").alias("_k")).select(
+        "url", F.col("_k.cid").alias("commit_id")
     )
-    selected_repair = sel.filter(
-        F.col("_rep_ok") & (F.col("_rn_r") <= repair_limit)
-    ).select("url", "commit_id")
+    selected_repair = agg.select("url", F.explode("_tr").alias("_k")).select(
+        "url", F.col("_k.cid").alias("commit_id")
+    )
     return selected_commits, selected_repair
 
 
@@ -489,8 +532,9 @@ def documentation_parts(
     docs: DataFrame,
     entities: DataFrame,
     limit: int = DOC_CONTEXT_LIMIT,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
     scored: DataFrame | None = None,
+    selected: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Documentation context (fl.py:2086-2145 + 2240-2316 doc-symbol pass),
     returned as (passthrough, collidable) edge parts — see
@@ -507,22 +551,29 @@ def documentation_parts(
         DOC_CONTEXT_MULTIPLIER weakening for doc-derived evidence, fl.py:2139)
 
     ``scored`` (url, warc_ts, doc_path, score — over ELIGIBLE docs) skips
-    the token join; the combined commit+doc scoring pass of
-    ``context_triples_parts`` supplies it.
+    the token join; ``selected`` (url, doc_path — the per-issue top rows)
+    skips scoring + selection entirely — the fused one-exchange selection
+    of ``context_triples_parts`` supplies it.
     """
     docs = eligible_docs(docs)
-    if scored is None:
-        scored = score_artifacts(
-            issues, docs.withColumn("_st", _doc_score_text()), "doc_path",
-            F.col("_st"), issue_tokens=issue_tokens,
+    if selected is None:
+        if scored is None:
+            scored = score_artifacts(
+                issues, docs.withColumn("_st", _doc_score_text()), "doc_path",
+                F.col("_st"), issue_arrays=issue_arrays,
+            )
+        scored = scored.filter(F.col("score") > 0)
+        # hash-agg top-k per url (no window sort of the scored table) —
+        # same shape as commit_repair_selections; order (score desc,
+        # doc_path asc) as an ascending struct key
+        dkey = F.struct((-F.col("score")).alias("k1"), F.col("doc_path").alias("dp"))
+        selected = _share(
+            scored.groupBy("url").agg(
+                F.slice(F.array_sort(F.collect_list(dkey)), 1, limit).alias("_t")
+            )
+        ).select("url", F.explode("_t").alias("_k")).select(
+            "url", F.col("_k.dp").alias("doc_path")
         )
-    scored = scored.filter(F.col("score") > 0)
-    w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("doc_path"))
-    selected = _share(
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= limit)
-        .select("url", "doc_path")
-    )
     doc_id = F.concat(
         F.lit("doc:"), F.col("url"), F.lit(":"), F.substring(F.sha1("doc_path"), 1, 12)
     )
@@ -585,12 +636,12 @@ def link_documentation(
     docs: DataFrame,
     entities: DataFrame,
     limit: int = DOC_CONTEXT_LIMIT,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Unioned documentation-context edges (``documentation_parts`` plus the
     per-(issue, entity) dedup the pipeline's MERGE otherwise provides)."""
     passthrough, collidable = documentation_parts(
-        issues, docs, entities, limit, issue_tokens
+        issues, docs, entities, limit, issue_arrays
     )
     return passthrough.unionByName(collidable.distinct())
 
@@ -600,7 +651,7 @@ def context_triples_parts(
     entities: DataFrame,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """All context stages as (passthrough, collidable) edge parts.
 
@@ -615,23 +666,30 @@ def context_triples_parts(
     MERGE shuffle entirely — at bench density that is ~1.9M of 2.2M context
     rows skipping a wide groupBy.
 
-    The issue-token index is built ONCE and shared by all stages, and the
-    (issue, commit) scoring is shared between the commit and repair stages
-    — without this the page-token regex battery ran 3× per pipeline.
-    Pass a pre-``persist()``ed ``issue_tokens`` (from ``issue_token_rows``)
-    to make the sharing physical; caller owns unpersist. (Do NOT
-    localCheckpoint here: checkpoint storage is not catalog-managed, so
+    The per-page token ARRAYS feed ONE fused scoring pass for both artifact
+    families, and the (issue, commit) scoring is shared between the commit
+    and repair stages — without this the page-token regex battery ran 3×
+    per pipeline. Only the scored result (``raw``) is persisted; the token
+    arrays themselves have exactly one consumer since the fusion, so the
+    old exploded-index persist was pure overhead. (Do NOT localCheckpoint
+    shared subtrees here: checkpoint storage is not catalog-managed, so
     repeated pipeline runs leak executor memory — measured 4× slowdown.)"""
     parts = []
     collidable = None
-    toks = issue_tokens if issue_tokens is not None else issue_token_rows(issues)
-    commit_raw = doc_raw = None
+    toks = issue_arrays if issue_arrays is not None else issue_token_arrays(issues)
     if commits is not None and docs is not None:
-        # ONE token-scoring pass for both artifact families: tag ids with a
-        # family prefix, union the (id, score-text) tables, split the
-        # aggregate afterwards. Saves a full scan + count aggregate over the
-        # issue-token index (~1.5-2 s at 48k pages).
-        c_art = eligible_commits(commits).select(
+        # ONE scoring pass AND ONE selection exchange for both artifact
+        # families: tag ids with a family prefix, union the (id,
+        # score-text) tables, score with the narrow array-intersect join,
+        # then compute ALL FIVE per-issue selections (commit top-N, repair
+        # top-N, doc top-N) in a single groupBy(url) hash-agg — nothing
+        # but the 1-row-per-url selection aggregate is ever materialized.
+        # (The previous shape persisted the full 2.1M-row scored table and
+        # ran two more selection jobs over it — ~2.5 s at 48k pages.)
+        from ..config import REPAIR_EXPERIENCE_REGEX
+
+        elig = eligible_commits(commits)
+        c_art = elig.select(
             F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
             _commit_score_text().alias("_st"),
         )
@@ -639,35 +697,84 @@ def context_triples_parts(
             F.concat(F.lit("d\x00"), F.col("doc_path")).alias("_art"),
             _doc_score_text().alias("_st"),
         )
-        raw = _share(
-            score_artifacts(
-                issues, c_art.unionByName(d_art), "_art", F.col("_st"),
-                issue_tokens=toks,
+        scored_all = score_artifacts(
+            issues, c_art.unionByName(d_art), "_art", F.col("_st"),
+            issue_arrays=toks,
+        )
+        repair_ids = (
+            eligible_commits(commits, REPAIR_EXPERIENCE_MAX_FILES)
+            .filter(_first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX))
+            .select(
+                F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
+                F.lit(True).alias("_rep"),
             )
         )
-        commit_raw = raw.filter(F.col("_art").startswith("c\x00")).select(
-            "url", "warc_ts",
-            F.expr("substring(_art, 3)").alias("commit_id"), "score",
+        cmeta = elig.select(
+            F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
+            F.col("committed_ts").alias("_cts"),
         )
-        doc_raw = raw.filter(F.col("_art").startswith("d\x00")).select(
-            "url", "warc_ts",
-            F.expr("substring(_art, 3)").alias("doc_path"), "score",
+        sc = (
+            scored_all.join(F.broadcast(cmeta), "_art", "left")
+            .join(F.broadcast(repair_ids), "_art", "left")
         )
-    if commits is not None:
-        # shared by the commit AND repair selections — persist so the
-        # token join + count aggregate materializes once, not per stage
-        scored = commit_context_scores(
-            issues, commits, issue_tokens=toks, raw_scored=commit_raw
+        is_c = F.col("_art").startswith("c\x00")
+        leak_ok = is_c & (F.col("_cts") <= F.col("warc_ts"))
+        aid = F.expr("substring(_art, 3)")
+        # ascending struct ≡ (score desc, committed_ts desc, commit_id asc)
+        # resp. (score desc, doc_path asc) — same keys as the standalone
+        # selection paths
+        ckey = F.struct(
+            (-F.col("score")).alias("k1"),
+            (-F.col("_cts").cast("double")).alias("k2"),
+            aid.alias("cid"),
         )
-        if commit_raw is None:
-            scored = _share(scored)
+        dkey = F.struct((-F.col("score")).alias("k1"), aid.alias("dp"))
+        rep_ok = (
+            leak_ok
+            & F.coalesce(F.col("_rep"), F.lit(False))
+            & (F.col("score") >= REPAIR_EXPERIENCE_MIN_SCORE)
+        )
+        sel = _share(
+            sc.groupBy("url").agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.when(leak_ok, ckey))),
+                    1, COMMIT_CONTEXT_LIMIT,
+                ).alias("_ta"),
+                F.slice(
+                    F.array_sort(F.collect_list(F.when(rep_ok, ckey))),
+                    1, REPAIR_EXPERIENCE_LIMIT,
+                ).alias("_tr"),
+                F.slice(
+                    F.array_sort(F.collect_list(F.when(~is_c, dkey))),
+                    1, DOC_CONTEXT_LIMIT,
+                ).alias("_td"),
+            )
+        )
+        sel_commits = sel.select("url", F.explode("_ta").alias("_k")).select(
+            "url", F.col("_k.cid").alias("commit_id")
+        )
+        sel_repair = sel.select("url", F.explode("_tr").alias("_k")).select(
+            "url", F.col("_k.cid").alias("commit_id")
+        )
+        sel_docs = sel.select("url", F.explode("_td").alias("_k")).select(
+            "url", F.col("_k.dp").alias("doc_path")
+        )
+        parts.append(link_commit_context(issues, commits, selected=sel_commits))
+        parts.append(commit_method_triples(commits, entities))
+        parts.append(link_repair_experience(issues, commits, selected=sel_repair))
+        doc_pass, collidable = documentation_parts(
+            issues, docs, entities, selected=sel_docs
+        )
+        parts.append(doc_pass)
+    elif commits is not None:
+        scored = _share(commit_context_scores(issues, commits, issue_arrays=toks))
         sel_commits, sel_repair = commit_repair_selections(scored, commits)
         parts.append(link_commit_context(issues, commits, selected=sel_commits))
         parts.append(commit_method_triples(commits, entities))
         parts.append(link_repair_experience(issues, commits, selected=sel_repair))
-    if docs is not None:
+    elif docs is not None:
         doc_pass, collidable = documentation_parts(
-            issues, docs, entities, issue_tokens=toks, scored=doc_raw
+            issues, docs, entities, issue_arrays=toks
         )
         parts.append(doc_pass)
     if not parts:
@@ -683,11 +790,11 @@ def context_triples(
     entities: DataFrame,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
-    issue_tokens: DataFrame | None = None,
+    issue_arrays: DataFrame | None = None,
 ) -> DataFrame | None:
     """All context stages unioned; None when no context inputs exist."""
     passthrough, collidable = context_triples_parts(
-        issues, entities, commits, docs, issue_tokens
+        issues, entities, commits, docs, issue_arrays
     )
     if passthrough is None:
         return None

@@ -181,18 +181,17 @@ def build_kg(
             "subj", "predicate", "obj", "weight", "src_url"
         )
     )
-    issue_tokens = None
     if commits is not None or docs is not None:
-        from .operators.context import context_triples_parts, issue_token_rows
+        from .operators.context import context_triples_parts
 
         issues = prepared.select("url", "warc_ts", "clean_text")
-        issue_tokens = issue_token_rows(issues)
-        if persist:
-            # catalog-managed cache shared by the three context stages;
-            # exposed as out["issue_tokens"] — caller owns unpersist
-            issue_tokens = issue_tokens.persist()
+        # no separate token-index cache: since the commit+doc scoring fusion
+        # the per-page token arrays have exactly one consumer (the fused
+        # scoring pass inside context_triples_parts), which persists its own
+        # scored output — materializing an exploded index here cost ~3 s a
+        # run at 48k pages for nothing
         ctx_pass, ctx_merge = context_triples_parts(
-            issues, entities, commits=commits, docs=docs, issue_tokens=issue_tokens
+            issues, entities, commits=commits, docs=docs
         )
         # MERGE semantics across sources: keep the strongest (min) weight
         # per (subj, predicate, obj) — a doc-derived ×1.5 link must not
@@ -217,6 +216,4 @@ def build_kg(
         "links": links,
         "triples": triples,
     }
-    if issue_tokens is not None:
-        out["issue_tokens"] = issue_tokens
     return out
