@@ -887,6 +887,56 @@ def _ranked_related_fixture(spark, sf_dir):
     per-type rank window — all against plain SQL."""
     from kgcompass_spark.plans.related import ranked_related_entities
 
+    fx = _rr_fixture_kg(spark, sf_dir)
+    rr = ranked_related_entities(
+        fx["triples"], fx["entities"], "root", _RR_ROOT_TEXT,
+        issue_texts=fx["issue_texts"], max_cost=2.0,
+        identifier_boost_weight=0.2, evidence_path_boost_weight=0.0,
+        unsup_gnn_mode="off",
+        node_embeddings=fx["node_embeddings"], root_vec=fx["root_vec"],
+    )
+    return rr.select(
+        "node", "entity_type", F.round("similarity", 4).alias("similarity"),
+        F.round("distance", 4).alias("distance"), "hops", "type_rank",
+    )
+
+
+# (tag, decay_factor, vector_similarity_weight) — the reference bulk
+# driver's `tag:decay,sim` param pairs (mine_kg_bulk.py:207-216)
+_SWEEP_PARAMS = [("d60_w30", 0.6, 0.3), ("d80_w50", 0.8, 0.5)]
+
+
+def _ranked_sweep_fixture(spark, sf_dir):
+    """KG-param sweep oracle (mine_kg_bulk.py sweep loop, Spark-first):
+    EVERY (decay, sim-weight) pair ranked from ONE shared candidate table
+    over the same fixture KG as ranked_related_fixture — the oracle is the
+    per-pair scored SELECT unioned across pairs, so the sweep's re-blend
+    (not just one pair) is value-checked."""
+    from kgcompass_spark.plans.related import ranked_related_sweep
+
+    fx = _rr_fixture_kg(spark, sf_dir)
+    root_emb = fx["node_embeddings"].sparkSession.createDataFrame(
+        [("issue:root", fx["root_vec"])], "node string, embedding array<double>"
+    )
+    node_emb = fx["node_embeddings"].unionByName(root_emb)
+    issue_texts = spark.createDataFrame(
+        [("root", _RR_ROOT_TEXT)], "url string, text string"
+    )
+    out = ranked_related_sweep(
+        fx["triples"], fx["entities"], issue_texts, _SWEEP_PARAMS,
+        max_cost=2.0, identifier_boost_weight=0.2, node_embeddings=node_emb,
+    )
+    return out.select(
+        "param_tag", "node", "entity_type",
+        F.round("similarity", 4).alias("similarity"),
+        F.round("distance", 4).alias("distance"), "hops", "type_rank",
+    )
+
+
+def _rr_fixture_kg(spark, sf_dir):
+    """Deterministic nation/supplier KG + metadata + fixture embeddings
+    shared by the ranked_related_fixture and ranked_sweep_fixture entries
+    (see _ranked_related_fixture's docstring for the shape)."""
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
     emb = _t(spark, sf_dir, "embeddings")
@@ -967,16 +1017,9 @@ def _ranked_related_fixture(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    rr = ranked_related_entities(
-        triples, entities, "root", _RR_ROOT_TEXT,
-        issue_texts=issue_texts, max_cost=2.0,
-        identifier_boost_weight=0.2, evidence_path_boost_weight=0.0,
-        unsup_gnn_mode="off",
+    return dict(
+        triples=triples, entities=entities, issue_texts=issue_texts,
         node_embeddings=node_embeddings, root_vec=root_vec,
-    )
-    return rr.select(
-        "node", "entity_type", F.round("similarity", 4).alias("similarity"),
-        F.round("distance", 4).alias("distance"), "hops", "type_rank",
     )
 
 
@@ -1072,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_eval_summary": _a8_eval_summary,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "ranked_related_fixture": _ranked_related_fixture,
+        "ranked_sweep_fixture": _ranked_sweep_fixture,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -1260,14 +1304,18 @@ def _build_lsh_topk_oracle(n_planes: int = 8, k: int = 10) -> str:
     """
 
 
-def _build_ranked_related_oracle() -> str:
+def _build_ranked_related_oracle(
+    decay: float = 0.6, w: float = 0.3, tag: str | None = None
+) -> str:
     """DuckDB twin of _ranked_related_fixture: closed-form SSSP costs
-    (0.9 per hop on the 1-/2-hop frontier), cos×0.3 + lev×0.7 blend with
-    0.6^cost decay (issues: cos only), identifier boosts (+0.2 name,
+    (0.9 per hop on the 1-/2-hop frontier), cos×w + lev×(1−w) blend with
+    decay^cost (issues: cos only), identifier boosts (+0.2 name,
     +0.1 file basename when contained in the root text), leaf-class and
-    target-type filters, per-type rank window."""
+    target-type filters, per-type rank window. ``tag`` adds a param_tag
+    column — one branch of the sweep oracle."""
     root = _RR_ROOT_TEXT.replace("'", "''")
     root_low = _RR_ROOT_TEXT.lower().replace("'", "''")
+    tag_col = f"'{tag}' AS param_tag, " if tag is not None else ""
     return f"""
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1303,11 +1351,12 @@ def _build_ranked_related_oracle() -> str:
           SELECT c.node, c.entity_type, c.cost, c.hops,
             CASE WHEN c.entity_type = 'issue'
               THEN list_cosine_similarity(e.v, (SELECT v FROM rootv))
-                   * power(0.6, c.cost)
-              ELSE (list_cosine_similarity(e.v, (SELECT v FROM rootv)) * 0.3
+                   * power({decay}, c.cost)
+              ELSE (list_cosine_similarity(e.v, (SELECT v FROM rootv)) * {w}
                     + (1.0 - levenshtein('{root}', c.ntext)::DOUBLE
-                             / greatest(len('{root}'), len(c.ntext))) * 0.7)
-                   * power(0.6, c.cost)
+                             / greatest(len('{root}'), len(c.ntext)))
+                      * (1.0 - {w}))
+                   * power({decay}, c.cost)
                    + CASE WHEN len(c.name) > 3
                            AND contains('{root_low}', lower(c.name))
                           THEN 0.2 ELSE 0.0 END
@@ -1316,7 +1365,7 @@ def _build_ranked_related_oracle() -> str:
             END AS sim
           FROM cand c JOIN emb e USING (vec_id)
         )
-        SELECT node, entity_type, round(sim, 4) AS similarity,
+        SELECT {tag_col}node, entity_type, round(sim, 4) AS similarity,
                round(cost, 4) AS distance, hops,
                row_number() OVER (PARTITION BY entity_type
                                   ORDER BY sim DESC, cost ASC, node ASC)
@@ -1324,6 +1373,16 @@ def _build_ranked_related_oracle() -> str:
         FROM scored
         QUALIFY type_rank <= 500
     """
+
+
+def _build_ranked_sweep_oracle() -> str:
+    """Sweep oracle: the parameterized fixture SELECT once per
+    (tag, decay, w) pair, UNION ALL — per-branch windows are equivalent to
+    the sweep's (param_tag, root, type) window on a single-root fixture."""
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_build_ranked_related_oracle(d, w, tag=t)})"
+        for (t, d, w) in _SWEEP_PARAMS
+    )
 
 
 def _build_pagerank_oracle(iters: int = 12) -> str:
@@ -1926,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(hops) AS hops FROM bfs GROUP BY node
         """,
         "ranked_related_fixture": _build_ranked_related_oracle(),
+        "ranked_sweep_fixture": _build_ranked_sweep_oracle(),
         "minhash_near_dups": _build_minhash_oracle(),
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),

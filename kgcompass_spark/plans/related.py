@@ -25,9 +25,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import (
+    DECAY_FACTOR,
     MAX_SIMILARITY_TEXT_CHARS,
     SIMILARITY_CANDIDATE_CAP,
     STRONG_CONNECTION,
+    VECTOR_SIMILARITY_WEIGHT,
 )
 from ..functions.similarity import (
     cosine_similarity,
@@ -40,31 +42,25 @@ from ..operators.ranking import node_type_from_id
 from ..operators.triples import with_reverse_edges
 
 
-def ranked_related_all(
+def _related_candidates(
     triples: DataFrame,
     entities: DataFrame,
     issue_texts: DataFrame,
     max_cost: float = 2.0,
-    limit: int = 500,
-    identifier_boost_weight: float = 0.0,
+    node_embeddings: DataFrame | None = None,
 ) -> DataFrame:
-    """Batched ranked retrieval: the per-root ``ranked_related_entities``
-    output for EVERY issue in ONE job (bounded_sssp_multi keyed by root).
-    This is the shape that runs at 10^12 pages — the reference loops one
-    Neo4j session per instance; one Spark job amortizes the graph pass
-    across all roots.
+    """Parameter-INDEPENDENT candidate table shared by ``ranked_related_all``
+    and the (decay, sim-weight) sweep: (root, node, entity_type, cost, hops,
+    name, file_path, _rtext, _cos, _lev). Everything expensive — the
+    multi-root bounded SSSP, the encoder, cosine, Levenshtein — happens here
+    ONCE; a parameter sweep only re-blends these columns (the reference's
+    bulk driver re-runs the whole per-instance pipeline per param pair,
+    mine_kg_bulk.py:479-551).
 
-    ``issue_texts``: (url, text) — roots AND issue-node texts. Issue
-    embeddings come from the same encoder UDF (no driver-side literals:
-    there are millions of roots). Differences vs the single-root plan,
-    documented: best-path structs are not carried (state × roots would
-    multiply by path width), so the evidence-path boost is unavailable
-    here — use the single-root plan when path provenance is needed.
-
-    Returns (root, node, entity_type, similarity, distance, hops, type_rank).
+    ``node_embeddings``: optional (node, embedding) — precomputed vectors
+    for candidate AND root issue nodes; when given the encoder UDF never
+    runs (missing nodes score cosine 0).
     """
-    from ..functions.embedding import embed_text_udf
-
     edges = with_reverse_edges(triples)
     roots = issue_texts.select(
         F.concat(F.lit("issue:"), F.col("url")).alias("root")
@@ -119,29 +115,58 @@ def ranked_related_all(
         )
     )
     df = df.withColumn("_ntext", ntext)
-    node_embs = (
-        df.select("node", "_ntext")
-        .dropDuplicates(["node"])
-        .withColumn("_nemb", embed_text_udf(F.col("_ntext")))
-        .select("node", "_nemb")
-    )
-    df = df.join(node_embs, "node")
-    rt = it.select(
-        F.col("_iid").alias("root"),
-        F.col("_itext").alias("_rtext"),
-        embed_text_udf(F.col("_itext")).alias("_remb"),
-    )
+    if node_embeddings is not None:
+        ne = node_embeddings.select("node", F.col("embedding").alias("_nemb"))
+        df = df.join(F.broadcast(ne), "node", "left")
+        rt = it.select(
+            F.col("_iid").alias("root"), F.col("_itext").alias("_rtext")
+        ).join(
+            F.broadcast(ne.withColumnRenamed("node", "root").withColumnRenamed("_nemb", "_remb")),
+            "root",
+            "left",
+        )
+    else:
+        from ..functions.embedding import embed_text_udf
+
+        node_embs = (
+            df.select("node", "_ntext")
+            .dropDuplicates(["node"])
+            .withColumn("_nemb", embed_text_udf(F.col("_ntext")))
+            .select("node", "_nemb")
+        )
+        df = df.join(node_embs, "node")
+        rt = it.select(
+            F.col("_iid").alias("root"),
+            F.col("_itext").alias("_rtext"),
+            embed_text_udf(F.col("_itext")).alias("_remb"),
+        )
     df = df.join(rt, "root")
     cos = cosine_similarity(F.col("_nemb"), F.col("_remb"))
+    if node_embeddings is not None:
+        cos = F.coalesce(cos, F.lit(0.0))
     # truncated operands: the pair table is |roots| × |reachable| and
     # Levenshtein is O(len²) per pair — unbounded text is a 100× scale-killer
     lev = levenshtein_similarity(
-        F.substring(F.col("_rtext"), 1, MAX_SIMILARITY_TEXT_CHARS),
+        F.substring(F.coalesce(F.col("_rtext"), F.lit("")), 1, MAX_SIMILARITY_TEXT_CHARS),
         F.substring(F.col("_ntext"), 1, MAX_SIMILARITY_TEXT_CHARS),
     )
+    return df.withColumn("_cos", cos).withColumn("_lev", lev).select(
+        "root", "node", "entity_type", "cost", "hops",
+        "name", "file_path", "_rtext", "_cos", "_lev",
+    )
+
+
+def _blend(df: DataFrame, decay_col, w_col, identifier_boost_weight: float):
+    """similarity = issue: cos×decay^cost; else (cos×w + lev×(1−w)) ×
+    decay^cost, + identifier boosts (knowledge_graph.py:1140-1177) — decay
+    and w as COLUMNS so one candidate table serves every param pair."""
+    cos, lev = F.col("_cos"), F.col("_lev")
     base = F.when(
-        F.col("entity_type") == "issue", issue_score(cos, F.col("cost"))
-    ).otherwise(mixed_score(cos, lev, F.col("cost")))
+        F.col("entity_type") == "issue",
+        cos * F.pow(decay_col, F.col("cost")),
+    ).otherwise(
+        (cos * w_col + lev * (1.0 - w_col)) * F.pow(decay_col, F.col("cost"))
+    )
     ib = F.lit(float(identifier_boost_weight))
     name_low = F.lower(F.coalesce(F.col("name"), F.lit("")))
     base_low = F.lower(
@@ -153,11 +178,95 @@ def ranked_related_all(
         F.when((F.length(name_low) > 3) & root_low.contains(name_low), ib).otherwise(F.lit(0.0))
         + F.when((F.length(base_low) > 0) & root_low.contains(base_low), ib / 2.0).otherwise(F.lit(0.0)),
     ).otherwise(F.lit(0.0))
-    scored = df.withColumn("similarity", base + identifier_boost).select(
+    return df.withColumn("similarity", base + identifier_boost)
+
+
+def ranked_related_all(
+    triples: DataFrame,
+    entities: DataFrame,
+    issue_texts: DataFrame,
+    max_cost: float = 2.0,
+    limit: int = 500,
+    identifier_boost_weight: float = 0.0,
+    node_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Batched ranked retrieval: the per-root ``ranked_related_entities``
+    output for EVERY issue in ONE job (bounded_sssp_multi keyed by root).
+    This is the shape that runs at 10^12 pages — the reference loops one
+    Neo4j session per instance; one Spark job amortizes the graph pass
+    across all roots.
+
+    ``issue_texts``: (url, text) — roots AND issue-node texts. Issue
+    embeddings come from the same encoder UDF (no driver-side literals:
+    there are millions of roots) unless ``node_embeddings`` supplies
+    precomputed vectors. Differences vs the single-root plan, documented:
+    best-path structs are not carried (state × roots would multiply by
+    path width), so the evidence-path boost is unavailable here — use the
+    single-root plan when path provenance is needed.
+
+    Returns (root, node, entity_type, similarity, distance, hops, type_rank).
+    """
+    cand = _related_candidates(
+        triples, entities, issue_texts, max_cost, node_embeddings
+    )
+    scored = _blend(
+        cand,
+        F.lit(float(DECAY_FACTOR)),
+        F.lit(float(VECTOR_SIMILARITY_WEIGHT)),
+        identifier_boost_weight,
+    ).select(
         "root", "node", "entity_type", "similarity",
         F.col("cost").alias("distance"), "hops",
     )
     w = Window.partitionBy("root", "entity_type").orderBy(
+        F.desc("similarity"), F.asc("distance"), F.asc("node")
+    )
+    return (
+        scored.withColumn("type_rank", F.row_number().over(w))
+        .filter(F.col("type_rank") <= limit)
+    )
+
+
+def ranked_related_sweep(
+    triples: DataFrame,
+    entities: DataFrame,
+    issue_texts: DataFrame,
+    params: list,
+    max_cost: float = 2.0,
+    limit: int = 500,
+    identifier_boost_weight: float = 0.0,
+    node_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """KG-param sweep (mine_kg_bulk.py:207-216 `_get_param_pairs` +
+    process_instance loop): rank every root under EVERY (decay_factor,
+    vector_similarity_weight) pair in ONE job.
+
+    ``params``: list of (param_tag, decay_factor, w) tuples — the
+    reference's ``tag:decay,sim`` pairs. The reference re-executes the
+    whole per-instance pipeline once per pair; here the expensive candidate
+    table (multi-root SSSP + encoder + cosine + Levenshtein) is built once
+    and CROSS-JOINED with the broadcast param table — the sweep costs one
+    narrow re-blend per pair, and the only added shuffle is the per
+    (param_tag, root, type) rank window over |candidates| × |params| rows.
+
+    Returns ranked_related_all's schema + a leading ``param_tag`` column.
+    """
+    spark = triples.sparkSession
+    pdf = spark.createDataFrame(
+        [(str(t), float(d), float(w)) for (t, d, w) in params],
+        "param_tag string, _decay double, _w double",
+    )
+    cand = _related_candidates(
+        triples, entities, issue_texts, max_cost, node_embeddings
+    )
+    swept = cand.crossJoin(F.broadcast(pdf))
+    scored = _blend(
+        swept, F.col("_decay"), F.col("_w"), identifier_boost_weight
+    ).select(
+        "param_tag", "root", "node", "entity_type", "similarity",
+        F.col("cost").alias("distance"), "hops",
+    )
+    w = Window.partitionBy("param_tag", "root", "entity_type").orderBy(
         F.desc("similarity"), F.asc("distance"), F.asc("node")
     )
     return (

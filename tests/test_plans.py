@@ -110,9 +110,12 @@ def test_ivf_topk_no_global_window(spark):
 
 
 def test_context_stages_broadcast_only(spark):
-    """The context scoring joins must broadcast the artifact token index —
-    the issue/page side must never shuffle for a join (only for its own
-    aggregates/windows)."""
+    """The context joins must broadcast the artifact side — the issue/page
+    side must never shuffle for a join (only for its own aggregates).
+    The ONE sanctioned nested-loop join is the array-intersect scoring
+    cross-join: its build side is the ~|artifacts| token-array table,
+    broadcast by construction, and every row it emits is a (page,
+    artifact) score — bounded, not cartesian-by-accident."""
     from kgcompass_spark.sources.datagen import (
         CUTOFF,
         context_corpus_dataframes,
@@ -123,5 +126,11 @@ def test_context_stages_broadcast_only(spark):
     out = build_kg(pages, entities, cutoff=CUTOFF, commits=commits, docs=docs)
     plan = plan_of(out["triples"])
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 6  # scoring + meta joins
+    # the scoring BNLJ always builds (broadcasts) its right side; textual
+    # occurrences repeat once per persisted-subtree consumer branch, so
+    # assert the SHAPE of every occurrence, not the count — a join that
+    # degenerated to an unbroadcast nested loop would not carry BuildRight
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj >= 1  # the scoring pass is present
+    assert n_bnlj == plan.count("BroadcastNestedLoopJoin BuildRight")
+    assert plan.count("BroadcastHashJoin") >= 6  # selection/meta joins

@@ -263,3 +263,51 @@ def test_custom_module_encoder_end_to_end(spark, monkeypatch):
     assert abs(sum(x * x for x in a[1]) - 1.0) < 1e-5  # unit vector
     root = encode_one("parser crash in render frame")
     assert len(root) == 128                    # driver side uses it too
+
+
+def test_param_sweep_matches_single_pair(spark):
+    # the sweep's (DECAY_FACTOR, VECTOR_SIMILARITY_WEIGHT) slice must be
+    # row-identical to ranked_related_all (same candidate table, literal
+    # vs column params), and other pairs must rank from the SAME candidates
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.config import DECAY_FACTOR, VECTOR_SIMILARITY_WEIGHT
+    from kgcompass_spark.plans.related import ranked_related_all, ranked_related_sweep
+
+    triples = spark.createDataFrame(
+        [
+            ("issue:r", "mentions", "file:f.py", 0.5, ""),
+            ("file:f.py", "contains method", "method:a.m@f.py", 0.25, ""),
+            ("file:f.py", "contains class", "class:a.C@f.py", 0.25, ""),
+            ("issue:r", "references", "issue:o", 0.5, ""),
+        ],
+        "subj string, predicate string, obj string, weight double, src_url string",
+    )
+    entities = spark.createDataFrame(
+        [
+            ("method:a.m@f.py", "m", "def m()", "doc m", "f.py"),
+            ("class:a.C@f.py", "C", "class C", "doc C", "f.py"),
+        ],
+        "entity_id string, name string, signature string, doc_string string,"
+        " file_path string",
+    )
+    issue_texts = spark.createDataFrame(
+        [("r", "crash in m inside f.py"), ("o", "other issue body")],
+        "url string, text string",
+    )
+    base = sorted(
+        map(tuple, ranked_related_all(triples, entities, issue_texts).collect())
+    )
+    sweep = ranked_related_sweep(
+        triples, entities, issue_texts,
+        [("base", DECAY_FACTOR, VECTOR_SIMILARITY_WEIGHT), ("alt", 0.9, 0.8)],
+    )
+    got_base = sorted(
+        map(tuple, sweep.filter(F.col("param_tag") == "base").drop("param_tag").collect())
+    )
+    assert got_base == base
+    alt = {r["node"]: r["similarity"]
+           for r in sweep.filter(F.col("param_tag") == "alt").collect()}
+    bse = {r[1]: r[3] for r in base}
+    assert set(alt) == set(bse)          # same candidate set
+    assert any(abs(alt[n] - bse[n]) > 1e-9 for n in alt)  # params applied
