@@ -933,6 +933,69 @@ def _ranked_sweep_fixture(spark, sf_dir):
     )
 
 
+def _result_documents_fixture(spark, sf_dir):
+    """Value-oracle for the per-instance result-document assembly
+    (plans/results.py): fixture-KG ranking (ranked_related_all with fixture
+    embeddings, 25/type) → result_documents → the nested arrays flattened
+    back to (section, 0-based pos, entity fields) rows — array ordering,
+    per-type slicing, field routing per entity type, and the root issue
+    inserted at similarity 2.0 / distance 0 are all SQL-checked."""
+    from kgcompass_spark.plans.related import ranked_related_all
+    from kgcompass_spark.plans.results import result_documents
+
+    fx = _rr_fixture_kg(spark, sf_dir)
+    root_emb = spark.createDataFrame(
+        [("issue:root", fx["root_vec"])], "node string, embedding array<double>"
+    )
+    node_emb = fx["node_embeddings"].unionByName(root_emb)
+    issue_texts = spark.createDataFrame(
+        [("root", _RR_ROOT_TEXT)], "url string, text string"
+    )
+    ranked = ranked_related_all(
+        fx["triples"], fx["entities"], issue_texts, max_cost=2.0, limit=25,
+        identifier_boost_weight=0.2, node_embeddings=node_emb,
+    )
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    issue_meta = n.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.concat(F.lit("i"), nk).alias("url"),
+        F.concat(F.lit("issue about "), F.col("n_name")).alias("title"),
+        F.concat(F.lit("issue about "), F.col("n_name")).alias("content"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("root", "Root issue", _RR_ROOT_TEXT)],
+            "url string, title string, content string",
+        )
+    )
+    docs = result_documents(
+        ranked, fx["entities"], issue_meta,
+        saved_at="1970-01-01T00:00:00+00:00",
+    )
+
+    def flat(section, field):
+        return docs.select(
+            "instance_id",
+            F.lit(section).alias("section"),
+            F.posexplode(F.col(f"related_entities.{field}")).alias("pos", "e"),
+        )
+
+    f = (
+        flat("method", "methods")
+        .unionByName(flat("class", "classes"))
+        .unionByName(flat("issue", "issues"))
+    )
+    return f.select(
+        "instance_id", "section", F.col("pos").cast("long").alias("pos"),
+        F.col("e.name").alias("name"),
+        F.col("e.signature").alias("signature"),
+        F.col("e.file_path").alias("file_path"),
+        F.col("e.issue_id").alias("issue_id"),
+        F.round("e.similarity", 4).alias("similarity"),
+        F.round("e.distance", 4).alias("distance"),
+        F.col("e.graph_node_id").alias("graph_node_id"),
+    )
+
+
 def _rr_fixture_kg(spark, sf_dir):
     """Deterministic nation/supplier KG + metadata + fixture embeddings
     shared by the ranked_related_fixture and ranked_sweep_fixture entries
@@ -980,6 +1043,8 @@ def _rr_fixture_kg(spark, sf_dir):
         F.concat(F.lit("def proc_"), sk, F.lit("(x)")).alias("signature"),
         F.col("s_name").alias("doc_string"),
         F.concat(F.lit("src/n"), snk, F.lit(".py")).alias("file_path"),
+        F.col("s_suppkey").cast("int").alias("start_line"),
+        (F.col("s_suppkey") + 10).cast("int").alias("end_line"),
     ).unionByName(
         n.select(
             F.concat(F.lit("class:c"), nk).alias("entity_id"),
@@ -987,6 +1052,8 @@ def _rr_fixture_kg(spark, sf_dir):
             F.concat(F.lit("class Widget"), nk).alias("signature"),
             F.col("n_name").alias("doc_string"),
             F.concat(F.lit("src/n"), nk, F.lit(".py")).alias("file_path"),
+            F.col("n_nationkey").cast("int").alias("start_line"),
+            (F.col("n_nationkey") + 20).cast("int").alias("end_line"),
         )
     )
     issue_texts = n.filter(F.col("n_nationkey") % 3 == 0).select(
@@ -1116,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "ranked_related_fixture": _ranked_related_fixture,
         "ranked_sweep_fixture": _ranked_sweep_fixture,
+        "result_documents_fixture": _result_documents_fixture,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -1304,18 +1372,13 @@ def _build_lsh_topk_oracle(n_planes: int = 8, k: int = 10) -> str:
     """
 
 
-def _build_ranked_related_oracle(
-    decay: float = 0.6, w: float = 0.3, tag: str | None = None
-) -> str:
-    """DuckDB twin of _ranked_related_fixture: closed-form SSSP costs
-    (0.9 per hop on the 1-/2-hop frontier), cos×w + lev×(1−w) blend with
-    decay^cost (issues: cos only), identifier boosts (+0.2 name,
-    +0.1 file basename when contained in the root text), leaf-class and
-    target-type filters, per-type rank window. ``tag`` adds a param_tag
-    column — one branch of the sweep oracle."""
+def _rr_scored_ctes(decay: float = 0.6, w: float = 0.3) -> str:
+    """Shared WITH-body for every fixture-KG oracle: candidates with
+    closed-form SSSP costs (0.9 per hop on the 1-/2-hop frontier) scored
+    by the cos×w + lev×(1−w) blend with decay^cost (issues: cos only) +
+    identifier boosts, leaf-class and target-type filters applied."""
     root = _RR_ROOT_TEXT.replace("'", "''")
     root_low = _RR_ROOT_TEXT.lower().replace("'", "''")
-    tag_col = f"'{tag}' AS param_tag, " if tag is not None else ""
     return f"""
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1326,6 +1389,8 @@ def _build_ranked_related_oracle(
           SELECT 'method:s' || s_suppkey::VARCHAR AS node,
                  'method' AS entity_type, 1.8 AS cost, 2 AS hops,
                  'proc_' || s_suppkey::VARCHAR AS name,
+                 'def proc_' || s_suppkey::VARCHAR || '(x)' AS signature,
+                 'src/n' || s_nationkey::VARCHAR || '.py' AS file_path,
                  'proc_' || s_suppkey::VARCHAR || ' def proc_'
                    || s_suppkey::VARCHAR || '(x) ' || s_name AS ntext,
                  'n' || s_nationkey::VARCHAR || '.py' AS basename,
@@ -1334,6 +1399,8 @@ def _build_ranked_related_oracle(
           UNION ALL
           SELECT 'class:c' || n_nationkey::VARCHAR, 'class', 1.8, 2,
                  'Widget' || n_nationkey::VARCHAR,
+                 NULL,
+                 'src/n' || n_nationkey::VARCHAR || '.py',
                  'Widget' || n_nationkey::VARCHAR || ' class Widget'
                    || n_nationkey::VARCHAR || ' ' || n_name,
                  'n' || n_nationkey::VARCHAR || '.py',
@@ -1343,12 +1410,13 @@ def _build_ranked_related_oracle(
                      (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey))
           UNION ALL
           SELECT 'issue:i' || n_nationkey::VARCHAR, 'issue', 0.9, 1,
-                 NULL, 'issue about ' || n_name, NULL,
+                 NULL, NULL, NULL, 'issue about ' || n_name, NULL,
                  (n_nationkey * 5 + 1) % 50
           FROM nation WHERE n_nationkey % 3 = 0
         ),
         scored AS (
           SELECT c.node, c.entity_type, c.cost, c.hops,
+            c.name, c.signature, c.file_path,
             CASE WHEN c.entity_type = 'issue'
               THEN list_cosine_similarity(e.v, (SELECT v FROM rootv))
                    * power({decay}, c.cost)
@@ -1365,6 +1433,18 @@ def _build_ranked_related_oracle(
             END AS sim
           FROM cand c JOIN emb e USING (vec_id)
         )
+    """
+
+
+def _build_ranked_related_oracle(
+    decay: float = 0.6, w: float = 0.3, tag: str | None = None
+) -> str:
+    """DuckDB twin of _ranked_related_fixture (see ``_rr_scored_ctes`` for
+    the shared candidate/scoring body). ``tag`` adds a param_tag column —
+    one branch of the sweep oracle."""
+    tag_col = f"'{tag}' AS param_tag, " if tag is not None else ""
+    return f"""
+        {_rr_scored_ctes(decay, w)}
         SELECT {tag_col}node, entity_type, round(sim, 4) AS similarity,
                round(cost, 4) AS distance, hops,
                row_number() OVER (PARTITION BY entity_type
@@ -1372,6 +1452,45 @@ def _build_ranked_related_oracle(
                  AS type_rank
         FROM scored
         QUALIFY type_rank <= 500
+    """
+
+
+def _build_result_docs_oracle(limit: int = 25) -> str:
+    """DuckDB twin of _result_documents_fixture: the per-type top-``limit``
+    candidates flattened back out of the assembled document — section,
+    0-based array position, the reference entity-dict fields, and the root
+    issue inserted at the head of the issues section with similarity 2.0 /
+    distance 0 (knowledge_graph.py:1252-1262)."""
+    root_title = "Root issue"
+    return f"""
+        {_rr_scored_ctes()}
+        , ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY entity_type
+                                       ORDER BY sim DESC, cost ASC, node ASC)
+                    AS tr
+          FROM scored
+          QUALIFY tr <= {limit}
+        )
+        SELECT 'root' AS instance_id, 'method' AS section,
+               tr - 1 AS pos, name, signature, file_path,
+               NULL AS issue_id, round(sim, 4) AS similarity,
+               round(cost, 4) AS distance, node AS graph_node_id
+        FROM ranked WHERE entity_type = 'method'
+        UNION ALL
+        SELECT 'root', 'class', tr - 1, name, signature, file_path,
+               NULL, round(sim, 4), round(cost, 4), node
+        FROM ranked WHERE entity_type = 'class'
+        UNION ALL
+        SELECT 'root', 'issue', 0, '{root_title}', NULL, NULL,
+               'root', 2.0, 0.0, 'issue:root'
+        UNION ALL
+        SELECT 'root', 'issue', tr,
+               'issue about ' || n.n_name, NULL, NULL,
+               'i' || n.n_nationkey::VARCHAR, round(r.sim, 4),
+               round(r.cost, 4), r.node
+        FROM ranked r JOIN nation n
+          ON r.node = 'issue:i' || n.n_nationkey::VARCHAR
+        WHERE r.entity_type = 'issue'
     """
 
 
@@ -1986,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ranked_related_fixture": _build_ranked_related_oracle(),
         "ranked_sweep_fixture": _build_ranked_sweep_oracle(),
+        "result_documents_fixture": _build_result_docs_oracle(),
         "minhash_near_dups": _build_minhash_oracle(),
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),
