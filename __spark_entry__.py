@@ -702,6 +702,22 @@ def _lsh_cosine_topk(spark, sf_dir):
     return out.select("vec_id", "rank", F.round("cosine", 4).alias("cos_sim"))
 
 
+def _ivf_cosine_topk(spark, sf_dir):
+    """ANN IVF variant (operators/simsearch.ivf_topk) under the md5_60
+    centroid hash: deterministic hash-sampled centroids, nearest-cell
+    assignment, n_probe=4 multiprobe, exact cosine within probed cells —
+    the full IVF pipeline value-checked against SQL."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10, hash_fn=md5_60)
+    return out.select("vec_id", "rank", F.round("cosine", 4).alias("cos_sim"))
+
+
 def _g6_pagerank(spark, sf_dir):
     from kgcompass_spark.operators.graph import pagerank
 
@@ -1191,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "detect_language_docs": _detect_language_docs,
         "lsh_cosine_topk": _lsh_cosine_topk,
+        "ivf_cosine_topk": _ivf_cosine_topk,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
@@ -1491,6 +1508,57 @@ def _build_result_docs_oracle(limit: int = 25) -> str:
         FROM ranked r JOIN nation n
           ON r.node = 'issue:i' || n.n_nationkey::VARCHAR
         WHERE r.entity_type = 'issue'
+    """
+
+
+def _build_ivf_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of ivf_topk(hash_fn=md5_60): centroids = the n_cells
+    smallest md5_60(vec_id) base vectors, nearest-centroid assignment
+    (cosine desc, cell asc), the query probes its n_probe nearest cells,
+    exact cosine within probed cells, global top-k."""
+    h = _h60("vec_id::VARCHAR")
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        base AS (SELECT * FROM emb WHERE vec_id <> 0),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+          FROM (
+            SELECT vec_id, v, {h} AS h FROM base ORDER BY h, vec_id LIMIT {n_cells}
+          )
+        ),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT b.vec_id, b.v, c.cell,
+                   row_number() OVER (
+                     PARTITION BY b.vec_id
+                     ORDER BY list_cosine_similarity(b.v, c.cvec) DESC, c.cell ASC
+                   ) AS rn
+            FROM base b CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        qc AS (
+          SELECT cell, qv FROM (
+            SELECT c.cell, q.qv,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cell ASC
+                   ) AS rn
+            FROM q CROSS JOIN cent c
+          ) WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+          FROM assigned a JOIN qc p USING (cell)
+        )
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+               round(cos, 4) AS cos_sim
+        FROM scored
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT {k}
     """
 
 
@@ -2110,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),
         "lsh_cosine_topk": _build_lsh_topk_oracle(),
+        "ivf_cosine_topk": _build_ivf_oracle(),
     }
 
 

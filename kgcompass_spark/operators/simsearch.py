@@ -173,6 +173,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    hash_fn=None,
 ) -> DataFrame:
     """IVF-lite: centroids = deterministic hash-sample of n_cells vectors;
     assign base vectors to nearest centroid (one broadcast join), probe the
@@ -181,11 +182,14 @@ def ivf_topk(
     Centroid selection is a TakeOrdered over a hash of the id (orderBy +
     limit = per-partition top-n + driver merge, O(n_cells) memory) — NOT a
     global row_number window, which would sort the full table in one task
-    (the round-1 scale-killer), and no count() action. Deterministic:
-    xxhash64 of the id is stable across runs."""
+    (the round-1 scale-killer), and no count() action. Deterministic: the
+    id hash is stable across runs. ``hash_fn`` defaults to ``F.xxhash64``;
+    pass ``hashing.md5_60`` for the DuckDB-reproducible oracle variant."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     ids = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     sampled = (
-        ids.withColumn("_h", F.xxhash64(F.col("cid").cast("string")))
+        ids.withColumn("_h", hash_fn(F.col("cid").cast("string")))
         .orderBy("_h", "cid")
         .limit(n_cells)
     )
