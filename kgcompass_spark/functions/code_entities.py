@@ -556,7 +556,32 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
         s_line = _line_of(source, m.start())
         e_line = _brace_end_line(masked, m.end() - 1)
         owner = _owner(m.start())
-        qname = f"{owner}.{mname}" if owner else (f"{module}.{mname}" if module else mname)
+        if owner:
+            qname = f"{owner}.{mname}"
+        else:
+            # C++ out-of-line member definition (`Cls::method(...)`, libclang
+            # sees these via the cursor's semantic parent): qualify with the
+            # ::-chain directly preceding the name, plus any enclosing
+            # namespace scopes (outer→inner)
+            chain = ""
+            if namespaces:
+                mm = _re.search(
+                    r"((?:[A-Za-z_]\w*\s*::\s*)+)$", masked[m.start():m.start(1)]
+                )
+                if mm:
+                    chain = ".".join(_re.findall(r"[A-Za-z_]\w*", mm.group(1)))
+            ns = [
+                s
+                for (s, sp, ep, emit, _) in sorted(scopes, key=lambda x: x[1])
+                if not emit and sp < m.start() <= ep
+            ]
+            parts = (
+                ([module] if module else [])
+                + ns
+                + ([chain] if chain else [])
+                + [mname]
+            )
+            qname = ".".join(parts)
         seen.add((s_line, mname))
         rows.append(dict(file_path=file_path, kind="method", name=qname,
                          short_name=mname,

@@ -241,7 +241,9 @@ def test_cpp_namespace_and_nested_qualification():
     rows = {r["name"]: r for r in parse_cpp_entities("src/acme/buffer.cpp", src)}
     assert rows["src.acme.buffer.acme.util.Buffer"]["kind"] == "class"
     assert rows["src.acme.buffer.acme.util.Buffer.fill"]["kind"] == "method"
-    assert rows["src.acme.buffer.free_fn"]["kind"] == "method"
+    # free functions carry their enclosing namespace (libclang's semantic
+    # parent) — round 4: previously they fell back to the bare module
+    assert rows["src.acme.buffer.acme.free_fn"]["kind"] == "method"
     # no rows for the namespaces themselves
     assert not any(n.endswith(".acme") or n.endswith(".util") for n in rows)
 
@@ -307,3 +309,26 @@ public:
     assert rows["Writer"]["end_line"] == 10
     assert "brace" in rows and "after" in rows
     assert rows["after"]["name"].endswith("fmt.Writer.after")
+
+
+def test_cpp_out_of_line_member_definitions():
+    # libclang resolves `void Writer::brace() {}` to its semantic parent;
+    # the structural scan now qualifies via the ::-chain + namespaces
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = """namespace fmt {
+class Writer {
+public:
+    void brace();
+};
+void Writer::brace() {
+    emit("x");
+}
+}
+int Helper::calc(int v) {
+    return v;
+}
+"""
+    rows = {r["short_name"]: r for r in parse_cpp_entities("lib/writer.cpp", src)}
+    assert rows["brace"]["name"] == "lib.writer.fmt.Writer.brace"
+    assert rows["calc"]["name"] == "lib.writer.Helper.calc"
