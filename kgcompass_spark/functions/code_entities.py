@@ -368,7 +368,12 @@ _JAVA_METHOD_RE = _re.compile(
     r"(?m)^[ \t]*(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)+"
     r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:\{|throws)"
 )
-_CPP_CLASS_RE = _re.compile(r"(?m)^[ \t]*(class|struct|union)\s+([A-Za-z_]\w*)[^;{]*\{")
+# optional single-level template prefix: `template <typename T> class X {`
+# on one line. Nested template-template default args ("vector<int>>") still
+# defeat the [^>{]* scan — a real parser problem, documented limitation.
+_CPP_CLASS_RE = _re.compile(
+    r"(?m)^[ \t]*(?:template\s*<[^>{]*>\s*)?(class|struct|union)\s+([A-Za-z_]\w*)[^;{]*\{"
+)
 _CPP_FUNC_RE = _re.compile(
     r"(?m)^[ \t]*(?!if|for|while|switch|catch|return|else)"
     r"[\w:<>~&*\s]+?\b([A-Za-z_]\w*)\s*\(([^;)]*)\)\s*(?:const\s*)?\{"

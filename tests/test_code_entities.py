@@ -332,3 +332,26 @@ int Helper::calc(int v) {
     rows = {r["short_name"]: r for r in parse_cpp_entities("lib/writer.cpp", src)}
     assert rows["brace"]["name"] == "lib.writer.fmt.Writer.brace"
     assert rows["calc"]["name"] == "lib.writer.Helper.calc"
+
+
+def test_cpp_template_declarations():
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = """template <typename T>
+class Stack {
+public:
+    void push(T v) {
+        data.push_back(v);
+    }
+};
+template <class K, class V> struct Pair {
+    K key() {
+        return k;
+    }
+};
+"""
+    rows = {r["short_name"]: r for r in parse_cpp_entities("lib/stack.hpp", src)}
+    assert rows["Stack"]["kind"] == "class"
+    assert rows["Pair"]["kind"] == "class"        # same-line template prefix
+    assert rows["push"]["name"].endswith("Stack.push")
+    assert rows["key"]["name"].endswith("Pair.key")
