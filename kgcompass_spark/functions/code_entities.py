@@ -360,12 +360,17 @@ def call_graph_edges(
 import re as _re
 
 _JAVA_PACKAGE_RE = _re.compile(r"(?m)^\s*package\s+([\w.]+)\s*;")
+# same-line annotations (`@Override public ...`, `@Entity class ...`) are
+# consumed before the modifier battery; javalang attaches them to the node
+_JAVA_ANNOT = r"(?:@[\w.]+(?:\([^)]*\))?\s+)*"
 _JAVA_CLASS_RE = _re.compile(
-    r"(?m)^[ \t]*(?:(?:public|protected|private|abstract|final|static|strictfp)\s+)*"
+    r"(?m)^[ \t]*" + _JAVA_ANNOT
+    + r"(?:(?:public|protected|private|abstract|final|static|strictfp)\s+)*"
     r"(class|interface|enum)\s+([A-Za-z_$][\w$]*)"
 )
 _JAVA_METHOD_RE = _re.compile(
-    r"(?m)^[ \t]*(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)+"
+    r"(?m)^[ \t]*" + _JAVA_ANNOT
+    + r"(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)+"
     r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:\{|throws)"
 )
 # optional single-level template prefix: `template <typename T> class X {`

@@ -355,3 +355,29 @@ template <class K, class V> struct Pair {
     assert rows["Pair"]["kind"] == "class"        # same-line template prefix
     assert rows["push"]["name"].endswith("Stack.push")
     assert rows["key"]["name"].endswith("Pair.key")
+
+
+def test_java_annotations_and_generics():
+    # javalang observables: same-line annotations precede modifiers;
+    # generic type parameters and nested generic returns keep signatures
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = """package com.ex;
+@Entity public class Box {
+    @Override public String toText() {
+        return s;
+    }
+    public <T extends Number> List<T> filterAll(List<T> items, Map<String, T> idx) {
+        return items;
+    }
+    @SuppressWarnings("unchecked")
+    public Map<String, List<Integer>> index() {
+        return m;
+    }
+}
+"""
+    rows = {r["short_name"]: r for r in parse_java_entities("com/ex/Box.java", src)}
+    assert rows["Box"]["kind"] == "class"          # same-line @Entity
+    assert rows["toText"]["name"] == "com.ex.Box.toText"   # same-line @Override
+    assert rows["filterAll"]["signature"] == "filterAll(List<T> items, Map<String, T> idx)"
+    assert "index" in rows
