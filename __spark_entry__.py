@@ -740,6 +740,32 @@ def _g6_pagerank(spark, sf_dir):
     )
 
 
+def _lsh_alias_link(spark, sf_dir):
+    """Entity-linking candidate generation with MinHash-LSH blocking against
+    a broadcast alias dictionary (operators/linking.lsh_alias_link) under
+    the md5_60 hash family — alias dictionary = part names, mentions =
+    part names with every 'e' deleted (a deterministic surface corruption
+    both engines reproduce). Scored with exact char-3-gram Jaccard, top-3
+    per mention."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.linking import lsh_alias_link
+
+    p = _t(spark, sf_dir, "part")
+    aliases = p.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.col("p_name").alias("alias"),
+    )
+    mentions = p.filter(F.col("p_partkey") % 7 == 1).select(
+        F.concat(F.lit("m"), F.col("p_partkey").cast("string")).alias("url"),
+        F.regexp_replace("p_name", "e", "").alias("text"),
+    )
+    out = lsh_alias_link(mentions, aliases, hash_fn=md5_60)
+    return out.select(
+        "url", "text", "entity_id", "alias", "n_shared_bands",
+        F.round("jaccard", 6).alias("jaccard"), "rank",
+    )
+
+
 def _kg_pipeline_triples(spark, sf_dir):
     """The KG-construction pipeline itself on the deterministic fixture
     corpus — counts per predicate (rows-only; DuckDB can't run the Arrow
@@ -1200,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_related_fixture": _ranked_related_fixture,
         "ranked_sweep_fixture": _ranked_sweep_fixture,
         "result_documents_fixture": _result_documents_fixture,
+        "lsh_alias_link": _lsh_alias_link,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -1225,6 +1252,95 @@ def _h60(expr: str) -> str:
 _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
 )
+
+
+def _build_lsh_alias_oracle(
+    num_hashes: int = 16, bands: int = 4, ngram: int = 3, top_k: int = 3
+) -> str:
+    """DuckDB twin of _lsh_alias_link: normalize → char-3-gram → md5_60
+    affine minhash → 4-band blocking join → exact distinct-gram Jaccard →
+    top-3 per mention. The signature mins run over the RAW gram list
+    (duplicates don't change a min); Jaccard runs over the distinct sets,
+    exactly as the Spark operator does."""
+    mersenne = (1 << 61) - 1
+    rpb = num_hashes // bands
+
+    def grams(col):
+        return (
+            f"CASE WHEN len({col}) < {ngram} THEN [{col}] "
+            f"ELSE [substr({col}, i+1, {ngram}) "
+            f"for i in generate_series(0, len({col}) - {ngram})] END"
+        )
+
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hh, h -> (h * {2 * i + 1} + {1_000_003 * (i + 1)}) "
+        f"% {mersenne})) AS h{i}"
+        for i in range(num_hashes)
+    )
+
+    def band_union(src):
+        return " UNION ALL ".join(
+            "SELECT ns, {i} AS band_id, {h} AS band_hash FROM {src}".format(
+                i=i,
+                src=src,
+                h=_h60(
+                    " || ',' || ".join(
+                        f"h{i * rpb + j}::VARCHAR" for j in range(rpb)
+                    )
+                ),
+            )
+            for i in range(bands)
+        )
+
+    norm = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    return f"""
+        WITH am AS (
+          SELECT p_partkey::BIGINT AS entity_id, p_name AS alias,
+                 {norm.format(c='p_name')} AS ns
+          FROM part
+        ),
+        mm AS (
+          SELECT 'm' || p_partkey::VARCHAR AS url,
+                 regexp_replace(p_name, 'e', '', 'g') AS text,
+                 {norm.format(c="regexp_replace(p_name, 'e', '', 'g')")} AS ns
+          FROM part WHERE p_partkey % 7 = 1
+        ),
+        mg AS (SELECT ns, {grams('ns')} AS grams FROM (SELECT DISTINCT ns FROM mm)),
+        ag AS (SELECT ns, {grams('ns')} AS grams FROM (SELECT DISTINCT ns FROM am)),
+        mh AS (SELECT ns, list_transform(grams, g -> {_h60('g')} % 2147483647) AS hh FROM mg),
+        ah AS (SELECT ns, list_transform(grams, g -> {_h60('g')} % 2147483647) AS hh FROM ag),
+        msig AS (SELECT ns, {sig_cols} FROM mh),
+        asig AS (SELECT ns, {sig_cols} FROM ah),
+        mband AS ({band_union('msig')}),
+        aband AS ({band_union('asig')}),
+        pairs AS (
+          SELECT mm.url, mm.text, am.entity_id, am.alias,
+                 mm.ns AS m_ns, am.ns AS a_ns,
+                 count(*) AS n_shared_bands
+          FROM mm
+          JOIN mband mb ON mb.ns = mm.ns
+          JOIN aband ab ON ab.band_id = mb.band_id AND ab.band_hash = mb.band_hash
+          JOIN am ON am.ns = ab.ns
+          GROUP BY ALL
+        ),
+        jac AS (
+          SELECT p.url, p.text, p.entity_id, p.alias, p.n_shared_bands,
+                 len(list_intersect(list_distinct(g1.grams), list_distinct(g2.grams)))::DOUBLE
+                   / len(list_distinct(list_concat(g1.grams, g2.grams))) AS jaccard
+          FROM pairs p
+          JOIN mg g1 ON g1.ns = p.m_ns
+          JOIN ag g2 ON g2.ns = p.a_ns
+        )
+        SELECT url, text, entity_id, alias, n_shared_bands,
+               round(jaccard, 6) AS jaccard, rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY url, text
+            ORDER BY jaccard DESC, n_shared_bands DESC, entity_id, alias
+          ) AS rank
+          FROM jac
+        ) WHERE rank <= {top_k}
+    """
 
 
 def _build_minhash_oracle(
@@ -2175,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "ranked_sweep_fixture": _build_ranked_sweep_oracle(),
         "result_documents_fixture": _build_result_docs_oracle(),
         "minhash_near_dups": _build_minhash_oracle(),
+        "lsh_alias_link": _build_lsh_alias_oracle(),
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),
         "lsh_cosine_topk": _build_lsh_topk_oracle(),

@@ -45,6 +45,19 @@ def shingles(text_col, k: int = 3):
     )
 
 
+def char_shingles(text_col, n: int = 3):
+    """Character n-grams as array<string> — the shingle unit for SHORT
+    strings (entity names, aliases) where word shingles degenerate to the
+    whole string. JVM higher-order functions only; strings shorter than
+    ``n`` yield the string itself so no row drops out of the signature."""
+    s = text_col
+    ln = F.length(s)
+    idx = F.sequence(F.lit(0), F.greatest(ln - n, F.lit(0)))
+    return F.when(ln < n, F.array(s)).otherwise(
+        F.transform(idx, lambda i: s.substr(i + 1, F.lit(n)))
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: md5(text) groupBy; returns (content_hash, dup_count,
     keeper_id, dup_ids). One shuffle on the hash."""
@@ -66,6 +79,7 @@ def minhash_signatures(
     num_hashes: int = MINHASH_NUM_HASHES,
     shingle_k: int = 3,
     hash_fn=None,
+    shingle_col=None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) — minhash over word shingles.
 
@@ -76,6 +90,10 @@ def minhash_signatures(
     ``functions.hashing.md5_60`` to run the identical affine/min/banding
     logic under a hash DuckDB reproduces — the oracle parameterization
     (both are reduced into 31 bits below, so the arithmetic is unchanged).
+
+    ``shingle_col`` overrides the shingle unit: any Column of
+    array<string> (e.g. :func:`char_shingles` for short alias strings);
+    default is word ``shingle_k``-shingles of ``text_col``.
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
@@ -87,9 +105,16 @@ def minhash_signatures(
     #
     # xxhash64 is reduced into 31 bits before the affine transform so
     # a*h + b never overflows a long under ANSI arithmetic (Spark 4 default).
+    # two-step projection: alias the shingle array before exploding it, so a
+    # shingle expression referencing the id column itself (the alias-linking
+    # path keys signatures BY the normalized string) never reads as a
+    # lateral-alias reference under Spark 4's analyzer
+    sh = shingle_col if shingle_col is not None else shingles(F.col(text_col), shingle_k)
     exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        sh.alias("__sh"), F.col(id_col).alias("doc_id")
+    ).select(
+        "doc_id",
+        F.explode("__sh").alias("shingle"),
     ).select(
         "doc_id",
         F.pmod(hash_fn("shingle"), F.lit((1 << 31) - 1)).alias("h"),

@@ -387,3 +387,139 @@ def span_containment_join(spans: DataFrame, entities: DataFrame) -> DataFrame:
         )
         .drop("_path")
     )
+
+
+def lsh_alias_link(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    top_k: int = 3,
+    hash_fn=None,
+    salt: int = 0,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Candidate generation against an alias dictionary with MinHash-LSH
+    blocking + a salted skew-aware scoring join (north_rule's linking
+    clause; generalizes J2's token blocking to arbitrary surface strings —
+    reference analog: knowledge_graph.py:688-735 candidate scoring, with
+    LSH replacing its full directory scan).
+
+    ``mentions``: (url, text) surface strings; ``aliases``: (entity_id,
+    alias). Both sides are normalized (lowercase, non-alnum → space,
+    collapsed), shingled into character ``ngram``-grams, minhashed with the
+    shared affine family (operators/dedup.py), and banded. Candidates are
+    pairs sharing >= 1 band hash; each candidate is scored with the EXACT
+    distinct-n-gram Jaccard (array_intersect / array_union on the real
+    shingle sets — LSH only blocks, it never decides), then top-``top_k``
+    per mention by (jaccard desc, n_shared_bands desc, entity_id asc).
+
+    Scale shape: the banded dictionary (bands× the alias count) broadcasts,
+    so the blocking join is shuffle-free on the mention side; the only
+    shuffles are the two bounded hash-aggs (signature min-agg, per-pair
+    band count). With ``broadcast_dict=False`` the block join shuffles on
+    (band_id, band_hash) — a Zipfian band bucket (boilerplate names) is the
+    hot key, so ``salt > 0`` spreads each mention band row over ``salt``
+    reducers by replicating the dictionary side salt× (same defense as
+    fuzzy_file_search; AQE skew-join covers the un-salted residual).
+
+    ``hash_fn``: F.xxhash64 default; pass functions.hashing.md5_60 for the
+    DuckDB-oracle parameterization. Returns (url, text, entity_id, alias,
+    n_shared_bands, jaccard, rank).
+    """
+    from .dedup import char_shingles, minhash_signatures
+
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    rows_per_band = num_hashes // bands
+
+    def norm(c):
+        return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+    m = mentions.select(
+        "url", "text", norm(F.col("text")).alias("_nm")
+    ).withColumn("_grams", F.array_distinct(char_shingles(F.col("_nm"), ngram)))
+    a = aliases.select(
+        "entity_id", "alias", norm(F.col("alias")).alias("_na")
+    ).withColumn("_agrams", F.array_distinct(char_shingles(F.col("_na"), ngram)))
+
+    # signatures keyed by the normalized string (shared surface forms hash
+    # once); mention/alias rows re-attach by the string
+    msig = minhash_signatures(
+        m.select(F.col("_nm").alias("doc_id")).distinct(),
+        id_col="doc_id",
+        text_col="doc_id",
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
+        shingle_col=char_shingles(F.col("doc_id"), ngram),
+    ).withColumnRenamed("doc_id", "_nm")
+    asig = minhash_signatures(
+        a.select(F.col("_na").alias("doc_id")).distinct(),
+        id_col="doc_id",
+        text_col="doc_id",
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
+        shingle_col=char_shingles(F.col("doc_id"), ngram),
+    ).withColumnRenamed("doc_id", "_na")
+
+    def band_cols(sig_df, key):
+        return sig_df.select(
+            key,
+            F.posexplode(
+                F.array(
+                    *[
+                        hash_fn(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_id", "band_hash"),
+        )
+
+    mb = m.join(band_cols(msig, "_nm"), "_nm")
+    ab = a.join(band_cols(asig, "_na"), "_na")
+
+    if broadcast_dict:
+        blocked = mb.join(
+            F.broadcast(ab), ["band_id", "band_hash"]
+        )
+    elif salt > 0:
+        mb = mb.withColumn(
+            "_salt", F.pmod(hash_fn(F.concat_ws("\x00", "url", "text")), F.lit(salt))
+        )
+        ab = ab.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("long"))
+        blocked = mb.join(ab, ["band_id", "band_hash", "_salt"]).drop("_salt")
+    else:
+        blocked = mb.join(ab, ["band_id", "band_hash"])
+
+    scored = (
+        blocked.groupBy("url", "text", "entity_id", "alias")
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.first("_grams").alias("_g"),
+            F.first("_agrams").alias("_ag"),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_g", "_ag"))
+            / F.size(F.array_union("_g", "_ag")),
+        )
+    )
+    w = Window.partitionBy("url", "text").orderBy(
+        F.desc("jaccard"), F.desc("n_shared_bands"), F.asc("entity_id"), F.asc("alias")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("url", "text", "entity_id", "alias", "n_shared_bands", "jaccard", "rank")
+    )

@@ -75,3 +75,59 @@ def test_span_containment(spark, entities):
     kinds = {r["kind"] for r in out}
     assert "class" in kinds   # class spans 10..100
     assert any(r["kind"] == "method" for r in out)
+
+
+def test_lsh_alias_link_finds_corrupted_alias(spark):
+    """MinHash-LSH blocking against a broadcast alias dictionary recovers
+    the right entity for a surface-corrupted mention, ranks by exact
+    n-gram Jaccard, and the salted non-broadcast path is result-identical
+    to the broadcast path."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.linking import lsh_alias_link
+
+    aliases = spark.createDataFrame(
+        [
+            (1, "connection_pool_manager"),
+            (2, "connection pool handler"),
+            (3, "unrelated thing entirely"),
+            (4, "zzzz"),
+        ],
+        "entity_id long, alias string",
+    )
+    mentions = spark.createDataFrame(
+        [("u1", "ConnectionPoolManager"), ("u2", "no such name qq")],
+        "url string, text string",
+    )
+    out = lsh_alias_link(mentions, aliases, hash_fn=md5_60)
+    rows = {(r["url"], r["rank"]): r for r in out.collect()}
+    assert rows[("u1", 1)]["entity_id"] == 1
+    # jaccard is the exact distinct-3-gram ratio, not an LSH estimate
+    # ("connectionpoolmanager" vs "connection pool manager": the grams
+    # spanning the underscores-made-spaces differ → 0.6, not ~1.0)
+    assert rows[("u1", 1)]["jaccard"] > 0.5
+    # entity 3/4 never block with u1
+    assert all(r["entity_id"] in (1, 2) for (u, _), r in rows.items() if u == "u1")
+
+    salted = lsh_alias_link(
+        mentions, aliases, hash_fn=md5_60, broadcast_dict=False, salt=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_lsh_alias_link_broadcast_plan(spark):
+    """The blocking join against the banded dictionary must be a broadcast
+    hash join — the mention side never shuffles for candidate generation."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.linking import lsh_alias_link
+
+    aliases = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "entity_id long, alias string"
+    )
+    mentions = spark.createDataFrame(
+        [("u1", "alpha beta gamma")], "url string, text string"
+    )
+    plan = (
+        lsh_alias_link(mentions, aliases, hash_fn=md5_60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
