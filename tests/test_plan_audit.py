@@ -98,3 +98,54 @@ def test_link_battery_joins_are_broadcast(spark):
     ]
     offenders = [ln for ln in smj if "_ref" not in ln]
     assert not offenders, offenders
+
+
+def test_bucketed_graph_tables_join_without_exchange(spark, tmp_path):
+    """The canonical edge/node tables are bucketed on the entity key, so
+    read-back joins and aggregations on that key plan ZERO shuffles — the
+    scale contract the bucketed sink exists for (sources/bucketed.py)."""
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.sources.bucketed import materialize_graph_tables
+
+    triples = spark.createDataFrame(
+        [
+            ("class:A", "contains method", "method:A.f", 0.25, "u1"),
+            ("class:A", "contains method", "method:A.g", 0.25, "u1"),
+            ("file:x.py", "contains class", "class:A", 0.25, "u2"),
+            ("issue:u9", "points to file", "file:x.py", 1.0, "u9"),
+        ],
+        "subj string, predicate string, obj string, weight double, src_url string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = materialize_graph_tables(
+            spark, triples, str(tmp_path), n_buckets=4, prefix="t_bkt"
+        )
+        edges, nodes = out["edges"], out["nodes"]
+
+        # content round-trips
+        assert edges.count() == 4
+        got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in nodes.collect()}
+        assert got["class:A"] == (2, 1)
+        assert got["method:A.f"] == (0, 1)
+        assert {r["node_type"] for r in nodes.collect()} == {
+            "class", "method", "file", "issue",
+        }
+
+        # edges ⋈ nodes on the bucket key: no Exchange anywhere in the plan
+        j = edges.join(nodes, edges.subj == nodes.node)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+
+        # hop expansion (edges self-join obj = subj) still needs one side
+        # re-keyed — but groupBy on the bucket key is exchange-free
+        agg = edges.groupBy("subj").agg(F.sum("weight"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_edges")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_nodes")
