@@ -766,6 +766,34 @@ def _lsh_alias_link(spark, sf_dir):
     )
 
 
+def _lsh_canonical_map(spark, sf_dir):
+    """Fuzzy canonicalization end-to-end (operators/canonicalize.
+    fuzzy_canonical_mapping): three deterministic spelling variants per
+    part name (raw / underscores / vowel-'e'-deleted) → char-3-gram
+    minhash LSH blocking → exact-Jaccard ≥ 0.6 mention graph →
+    connected-components union-find → canonical id = min entity id. The
+    DuckDB oracle replays the identical blocking + threshold and computes
+    the closure with a recursive-CTE reachability."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.canonicalize import fuzzy_canonical_mapping
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    pid = F.lpad(F.col("p_partkey").cast("string"), 7, "0")
+
+    def variant(tag, name_col):
+        return p.select(
+            F.concat(F.lit("p"), pid, F.lit(":" + tag)).alias("entity_id"),
+            name_col.alias("name"),
+        )
+
+    names = (
+        variant("a", F.col("p_name"))
+        .unionByName(variant("b", F.translate("p_name", " ", "_")))
+        .unionByName(variant("c", F.regexp_replace("p_name", "e", "")))
+    )
+    return fuzzy_canonical_mapping(names, hash_fn=md5_60)
+
+
 def _kg_pipeline_triples(spark, sf_dir):
     """The KG-construction pipeline itself on the deterministic fixture
     corpus — counts per predicate (rows-only; DuckDB can't run the Arrow
@@ -1227,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_sweep_fixture": _ranked_sweep_fixture,
         "result_documents_fixture": _result_documents_fixture,
         "lsh_alias_link": _lsh_alias_link,
+        "lsh_canonical_map": _lsh_canonical_map,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -1340,6 +1369,104 @@ def _build_lsh_alias_oracle(
           ) AS rank
           FROM jac
         ) WHERE rank <= {top_k}
+    """
+
+
+def _build_lsh_canon_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 256,
+) -> str:
+    """DuckDB twin of _lsh_canonical_map: the variant fixture, the same
+    char-gram md5_60 minhash banding (incl. the mega-bucket star guard),
+    exact-Jaccard >= threshold edges, and the union-find closure as a
+    recursive-CTE reachability (comp = min reachable id) — exact at the
+    sf0.01 cluster sizes this entry runs at."""
+    mersenne = (1 << 61) - 1
+    rpb = num_hashes // bands
+    grams = (
+        f"CASE WHEN len(ns) < {ngram} THEN [ns] "
+        f"ELSE [substr(ns, i+1, {ngram}) "
+        f"for i in generate_series(0, len(ns) - {ngram})] END"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hh, h -> (h * {2 * i + 1} + {1_000_003 * (i + 1)}) "
+        f"% {mersenne})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT entity_id, {i} AS band_id, {h} AS band_hash FROM sig".format(
+            i=i,
+            h=_h60(
+                " || ',' || ".join(f"h{i * rpb + j}::VARCHAR" for j in range(rpb))
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""
+        WITH RECURSIVE names AS (
+          SELECT 'p' || lpad(p_partkey::VARCHAR, 7, '0') || ':a' AS entity_id,
+                 p_name AS name FROM part WHERE p_partkey % 3 = 0
+          UNION ALL
+          SELECT 'p' || lpad(p_partkey::VARCHAR, 7, '0') || ':b',
+                 replace(p_name, ' ', '_') FROM part WHERE p_partkey % 3 = 0
+          UNION ALL
+          SELECT 'p' || lpad(p_partkey::VARCHAR, 7, '0') || ':c',
+                 regexp_replace(p_name, 'e', '', 'g') FROM part WHERE p_partkey % 3 = 0
+        ),
+        normd AS (
+          SELECT entity_id,
+                 trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS ns
+          FROM names
+        ),
+        gr AS (SELECT entity_id, list_distinct({grams}) AS grams, {grams} AS rawg FROM normd),
+        hs AS (
+          SELECT entity_id,
+                 list_transform(rawg, g -> {_h60('g')} % 2147483647) AS hh
+          FROM gr
+        ),
+        sig AS (SELECT entity_id, {sig_cols} FROM hs),
+        banded AS ({band_selects}),
+        stats AS (
+          SELECT band_id, band_hash, count(*) AS bsize, min(entity_id) AS bmin
+          FROM banded GROUP BY band_id, band_hash
+        ),
+        bd AS (
+          SELECT b.entity_id, b.band_id, b.band_hash, s.bsize, s.bmin
+          FROM banded b JOIN stats s USING (band_id, band_hash)
+        ),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.entity_id AS doc_a, b.entity_id AS doc_b
+            FROM bd a JOIN bd b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.entity_id < b.entity_id
+            WHERE a.bsize <= {max_bucket}
+            UNION ALL
+            SELECT bmin AS doc_a, entity_id AS doc_b FROM bd
+            WHERE bsize > {max_bucket} AND entity_id <> bmin
+          )
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst
+          FROM cand
+          JOIN gr g1 ON g1.entity_id = cand.doc_a
+          JOIN gr g2 ON g2.entity_id = cand.doc_b
+          WHERE len(list_intersect(g1.grams, g2.grams))::DOUBLE
+                  / len(list_distinct(list_concat(g1.grams, g2.grams)))
+                >= {threshold}
+        ),
+        sym AS (
+          SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+        ),
+        reach(a, b) AS (
+          SELECT entity_id, entity_id FROM names
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+        )
+        SELECT a AS entity_id, min(b) AS canonical_id FROM reach GROUP BY a
     """
 
 
@@ -2292,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "result_documents_fixture": _build_result_docs_oracle(),
         "minhash_near_dups": _build_minhash_oracle(),
         "lsh_alias_link": _build_lsh_alias_oracle(),
+        "lsh_canonical_map": _build_lsh_canon_oracle(),
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),
         "lsh_cosine_topk": _build_lsh_topk_oracle(),

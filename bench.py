@@ -93,8 +93,12 @@ def main() -> None:
         out["mentions"].unpersist()
 
     kg_full_run()  # warm-up
+    # best-of-3 (vs 2): hypervisor steal on this VM inflates individual
+    # runs by up to 2× (measured 29.3 vs 13.9 s for the SAME plan in one
+    # process, round 4) — a third rep materially raises the odds of
+    # catching a quiet window for the headline number
     full_sec = None
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         kg_full_run()

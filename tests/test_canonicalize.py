@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from kgcompass_spark.operators.canonicalize import (
     canonical_mapping,
     canonicalize_triples,
+    fuzzy_canonical_mapping,
 )
 
 ENT_SCHEMA = (
@@ -35,6 +36,32 @@ def test_canonical_mapping_merges_spellings(spark):
     assert mapping["file:a/b.py"] == mapping["file:./a/b.py"] == mapping["file:a\\b.py"]
     assert mapping["file:c/d.py"] != mapping["file:a/b.py"]
     assert mapping["method:a.b.f@a/b.py"] == mapping["method:a.b.f@./a/b.py"]
+
+
+def test_fuzzy_canonical_mapping_merges_near_spellings(spark):
+    """Near-spellings of one surface string (case, separators, a trailing
+    char) land in one component; unrelated names stay apart; every input
+    id appears (singletons map to themselves). Separator variants
+    normalize to the *same* gram set (J=1); the suffixed variant merges
+    transitively through them at J≈0.96."""
+    rows = [
+        ("e1", "Token Bucket Rate-Limiter"),
+        ("e2", "token_bucket_rate_limiter"),
+        ("e3", "token bucket rate limiterz"),
+        ("e4", "zstd block compressor"),
+        ("e5", "ZSTD_BLOCK_COMPRESSOR!"),
+        ("e6", "completely different thing"),
+    ]
+    names = spark.createDataFrame(rows, "entity_id string, name string")
+    m = {
+        r["entity_id"]: r["canonical_id"]
+        for r in fuzzy_canonical_mapping(names, threshold=0.6).collect()
+    }
+    assert set(m) == {r[0] for r in rows}  # total mapping
+    assert m["e1"] == m["e2"] == m["e3"] == "e1"
+    assert m["e4"] == m["e5"] == "e4"
+    assert m["e6"] == "e6"
+    assert m["e6"] != m["e1"] and m["e4"] != m["e1"]
 
 
 def test_canonicalize_triples_rewrites_and_dedups(spark):
