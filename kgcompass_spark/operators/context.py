@@ -678,86 +678,123 @@ def context_triples_parts(
     collidable = None
     toks = issue_arrays if issue_arrays is not None else issue_token_arrays(issues)
     if commits is not None and docs is not None:
-        # ONE scoring pass AND ONE selection exchange for both artifact
-        # families: tag ids with a family prefix, union the (id,
-        # score-text) tables, score with the narrow array-intersect join,
-        # then compute ALL FIVE per-issue selections (commit top-N, repair
-        # top-N, doc top-N) in a single groupBy(url) hash-agg — nothing
-        # but the 1-row-per-url selection aggregate is ever materialized.
-        # (The previous shape persisted the full 2.1M-row scored table and
-        # ran two more selection jobs over it — ~2.5 s at 48k pages.)
+        # ONE scoring pass and ZERO selection exchanges for both artifact
+        # families. Every candidate row for a url derives from that url's
+        # single page row, so the per-issue top-N is a ROW-LOCAL
+        # computation: broadcast the (tiny) artifact table as ONE row
+        # carrying array<struct>, score all artifacts per page with an
+        # array transform, sort once, and slice the commit / repair / doc
+        # selections out of the sorted array — no |pages|×|artifacts| pair
+        # materialization, no groupBy(url), no collect_list. (The previous
+        # shape shuffled the 2.1M-row scored table into a 3×collect_list
+        # hash-agg — ~3.5 s at 48k pages for work a projection can do.)
         from ..config import REPAIR_EXPERIENCE_REGEX
 
         elig = eligible_commits(commits)
-        c_art = elig.select(
-            F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
-            _commit_score_text().alias("_st"),
-        )
-        d_art = eligible_docs(docs).select(
-            F.concat(F.lit("d\x00"), F.col("doc_path")).alias("_art"),
-            _doc_score_text().alias("_st"),
-        )
-        scored_all = score_artifacts(
-            issues, c_art.unionByName(d_art), "_art", F.col("_st"),
-            issue_arrays=toks,
-        )
-        repair_ids = (
+        rep_ids = (
             eligible_commits(commits, REPAIR_EXPERIENCE_MAX_FILES)
             .filter(_first_lines(F.col("message"), 3).rlike(REPAIR_EXPERIENCE_REGEX))
-            .select(
-                F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
-                F.lit(True).alias("_rep"),
+            .select(F.col("commit_id").alias("_aid"), F.lit(True).alias("_rep"))
+        )
+        c_one = (
+            elig.select(
+                F.col("commit_id").alias("_aid"),
+                context_tokens(_commit_score_text()).alias("_atoks"),
+                F.col("committed_ts").cast("double").alias("_cts"),
+                F.lit(True).alias("_isc"),
+            )
+            .join(rep_ids, "_aid", "left")
+            .withColumn("_rep", F.coalesce("_rep", F.lit(False)))
+        )
+        d_one = eligible_docs(docs).select(
+            F.col("doc_path").alias("_aid"),
+            context_tokens(_doc_score_text()).alias("_atoks"),
+            F.lit(None).cast("double").alias("_cts"),
+            F.lit(False).alias("_isc"),
+            F.lit(False).alias("_rep"),
+        )
+        art_all = c_one.select("_aid", "_atoks", "_cts", "_isc", "_rep").unionByName(
+            d_one
+        )
+        # vocabulary prune (same guard as score_artifacts): issue token
+        # arrays shrink to the artifact vocabulary before the per-artifact
+        # intersects, so each intersect is O(|shared candidates|)
+        vocab = [
+            r[0]
+            for r in art_all.select(F.explode("_atoks").alias("t")).distinct().collect()
+        ]
+        it = toks
+        if 0 < len(vocab) <= _VOCAB_PRUNE_MAX:
+            it = toks.select(
+                "url",
+                "warc_ts",
+                F.array_intersect(
+                    "_itoks", F.array(*[F.lit(v) for v in sorted(vocab)])
+                ).alias("_itoks"),
+            )
+        art_one = art_all.agg(
+            F.collect_list(F.struct("_aid", "_isc", "_rep", "_cts", "_atoks")).alias(
+                "_arts"
             )
         )
-        cmeta = elig.select(
-            F.concat(F.lit("c\x00"), F.col("commit_id")).alias("_art"),
-            F.col("committed_ts").alias("_cts"),
+        wts = F.col("warc_ts").cast("double")
+        # element struct sorts ascending ≡ (score desc, committed_ts desc,
+        # commit_id asc) for commits resp. (score desc, doc_path asc) for
+        # docs (k2 = 0 constant there); isc/rep trail the unique (k1, k2,
+        # id) prefix so they never affect the order. score > 0 and the
+        # commit leakage guard apply to every family-selection, so they
+        # are folded into the shared filter before the sort.
+        scored = F.transform(
+            F.col("_arts"),
+            lambda a: F.struct(
+                (-F.size(F.array_intersect(F.col("_itoks"), a["_atoks"])).cast("long")).alias("k1"),
+                F.coalesce(-a["_cts"], F.lit(0.0)).alias("k2"),
+                a["_aid"].alias("id"),
+                a["_isc"].alias("isc"),
+                a["_rep"].alias("rep"),
+            ),
         )
-        sc = (
-            scored_all.join(F.broadcast(cmeta), "_art", "left")
-            .join(F.broadcast(repair_ids), "_art", "left")
+        kept_sorted = F.array_sort(
+            F.filter(
+                scored,
+                lambda s: (s["k1"] < 0) & (~s["isc"] | (-s["k2"] <= wts)),
+            )
         )
-        is_c = F.col("_art").startswith("c\x00")
-        leak_ok = is_c & (F.col("_cts") <= F.col("warc_ts"))
-        aid = F.expr("substring(_art, 3)")
-        # ascending struct ≡ (score desc, committed_ts desc, commit_id asc)
-        # resp. (score desc, doc_path asc) — same keys as the standalone
-        # selection paths
-        ckey = F.struct(
-            (-F.col("score")).alias("k1"),
-            (-F.col("_cts").cast("double")).alias("k2"),
-            aid.alias("cid"),
-        )
-        dkey = F.struct((-F.col("score")).alias("k1"), aid.alias("dp"))
-        rep_ok = (
-            leak_ok
-            & F.coalesce(F.col("_rep"), F.lit(False))
-            & (F.col("score") >= REPAIR_EXPERIENCE_MIN_SCORE)
+        # explode(array(x)) is a Generate barrier: CollapseProject would
+        # otherwise inline the sort chain (45 intersects per page) into
+        # each of the three selection columns, tripling the scoring work
+        row = it.crossJoin(F.broadcast(art_one)).select(
+            "url", F.explode(F.array(kept_sorted)).alias("_s")
         )
         sel = _share(
-            sc.groupBy("url").agg(
+            row.select(
+                "url",
                 F.slice(
-                    F.array_sort(F.collect_list(F.when(leak_ok, ckey))),
-                    1, COMMIT_CONTEXT_LIMIT,
+                    F.filter("_s", lambda s: s["isc"]), 1, COMMIT_CONTEXT_LIMIT
                 ).alias("_ta"),
                 F.slice(
-                    F.array_sort(F.collect_list(F.when(rep_ok, ckey))),
-                    1, REPAIR_EXPERIENCE_LIMIT,
+                    F.filter(
+                        "_s",
+                        lambda s: s["isc"]
+                        & s["rep"]
+                        & (-s["k1"] >= REPAIR_EXPERIENCE_MIN_SCORE),
+                    ),
+                    1,
+                    REPAIR_EXPERIENCE_LIMIT,
                 ).alias("_tr"),
                 F.slice(
-                    F.array_sort(F.collect_list(F.when(~is_c, dkey))),
-                    1, DOC_CONTEXT_LIMIT,
+                    F.filter("_s", lambda s: ~s["isc"]), 1, DOC_CONTEXT_LIMIT
                 ).alias("_td"),
             )
         )
         sel_commits = sel.select("url", F.explode("_ta").alias("_k")).select(
-            "url", F.col("_k.cid").alias("commit_id")
+            "url", F.col("_k.id").alias("commit_id")
         )
         sel_repair = sel.select("url", F.explode("_tr").alias("_k")).select(
-            "url", F.col("_k.cid").alias("commit_id")
+            "url", F.col("_k.id").alias("commit_id")
         )
         sel_docs = sel.select("url", F.explode("_td").alias("_k")).select(
-            "url", F.col("_k.dp").alias("doc_path")
+            "url", F.col("_k.id").alias("doc_path")
         )
         parts.append(link_commit_context(issues, commits, selected=sel_commits))
         parts.append(commit_method_triples(commits, entities))
