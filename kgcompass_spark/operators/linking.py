@@ -128,6 +128,67 @@ def link_traceback_frames(frames: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+def link_dictionary_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """J1/J3 fused: the three alias-dictionary resolvers (exact file path
+    STRONG, qualified name NORMAL, bare call/class short name NORMAL) as
+    ONE broadcast hash join on a tagged (slot, text) key.
+
+    At scale this is the point: the mentions table is page-derived and
+    huge, and three separate resolver joins are three full passes over it.
+    Tagging each dictionary row with the mention slot it serves collapses
+    them into one pass with one broadcast. The call branch's deterministic
+    winner (min (entity_id, kind) per short name — see
+    ``link_call_mentions``) folds into the DICTIONARY build, which runs on
+    the tiny entity inventory, so the per-(url, text) winner groupBy over
+    the mention side disappears; a page mentioning the same text under two
+    mention types now emits duplicate identical link rows, which the
+    pipeline's (subj, predicate, obj) MERGE dedup absorbs.
+    """
+    files = entities.filter(F.col("kind") == "file").select(
+        F.lit("F").alias("_slot"),
+        F.col("file_path").alias("_key"),
+        "entity_id",
+        F.lit("file").alias("kind"),
+        F.lit(STRONG_CONNECTION).alias("weight"),
+    )
+    named = entities.filter(
+        F.col("kind").isin("method", "class", "global_var")
+    ).select(
+        F.lit("Q").alias("_slot"),
+        F.col("name").alias("_key"),
+        "entity_id",
+        "kind",
+        F.lit(NORMAL_CONNECTION).alias("weight"),
+    )
+    calls = (
+        entities.filter(F.col("kind").isin("method", "class"))
+        .groupBy(F.col("short_name").alias("_key"))
+        .agg(F.min(F.struct("entity_id", "kind")).alias("_w"))
+        .select(
+            F.lit("C").alias("_slot"),
+            "_key",
+            F.col("_w.entity_id").alias("entity_id"),
+            F.col("_w.kind").alias("kind"),
+            F.lit(NORMAL_CONNECTION).alias("weight"),
+        )
+    )
+    dictionary = files.unionByName(named).unionByName(calls)
+    slot = (
+        F.when(F.col("mtype") == "file", F.lit("F"))
+        .when(F.col("mtype") == "import", F.lit("Q"))
+        .when(F.col("mtype").isin("call", "variable", "global"), F.lit("C"))
+    )
+    return (
+        mentions.withColumn("_mslot", slot)
+        .filter(F.col("_mslot").isNotNull())
+        .join(
+            F.broadcast(dictionary),
+            (F.col("_mslot") == F.col("_slot")) & (F.col("text") == F.col("_key")),
+        )
+        .select("url", "entity_id", "kind", "weight")
+    )
+
+
 def link_issue_refs(mentions: DataFrame, pages_meta: DataFrame) -> DataFrame:
     """J8: ``#N`` refs → other pages, leakage-guarded.
 

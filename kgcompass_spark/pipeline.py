@@ -23,10 +23,8 @@ from .functions.cleaning import clean_issue_text
 from .functions.html import page_text
 from .functions.mentions import mentions_dataframe, traceback_mentions
 from .operators.linking import (
-    link_call_mentions,
-    link_file_mentions,
+    link_dictionary_mentions,
     link_issue_refs,
-    link_qualified_mentions,
     link_traceback_frames,
 )
 from .operators.triples import links_to_triples, structural_triples, with_reverse_edges
@@ -91,11 +89,14 @@ def extract_frames(prepared: DataFrame) -> DataFrame:
 def link_all(
     mentions: DataFrame, frames: DataFrame, entities: DataFrame, pages_meta: DataFrame
 ) -> DataFrame:
-    """Stage 3: all resolvers unioned → (url, entity_id, kind, weight)."""
+    """Stage 3: all resolvers unioned → (url, entity_id, kind, weight).
+
+    The three alias-dictionary resolvers (file / qualified / call) run as
+    ONE fused broadcast join (``link_dictionary_mentions``) — one pass
+    over the mentions table instead of three; traceback frames and issue
+    cross-refs join on different keys/sources and stay separate."""
     return (
-        link_file_mentions(mentions, entities)
-        .unionByName(link_qualified_mentions(mentions, entities))
-        .unionByName(link_call_mentions(mentions, entities))
+        link_dictionary_mentions(mentions, entities)
         .unionByName(link_traceback_frames(frames, entities))
         .unionByName(link_issue_refs(mentions, pages_meta))
     )

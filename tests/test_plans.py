@@ -39,8 +39,10 @@ def test_linking_joins_are_broadcast(spark):
     pages, entities, _, _ = corpus_dataframes(spark, n_pages=20)
     out = build_kg(pages, entities)
     plan = plan_of(out["links"])
-    # the four alias-dictionary resolvers must broadcast the dictionary
-    assert plan.count("BroadcastHashJoin") >= 4
+    # the fused alias-dictionary resolver and the traceback resolver must
+    # broadcast the dictionary (the file/qualified/call resolvers are ONE
+    # tagged-key broadcast join — one pass over the mentions table)
+    assert plan.count("BroadcastHashJoin") >= 2
     # the only shuffle join allowed is the issue-ref SELF-join (both sides
     # are page-derived and big at scale — sort-merge is the correct plan)
     smj_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l]
