@@ -184,3 +184,65 @@ def test_unresolved_doc_not_linked(spark, full_corpus, full_out):
     h = hashlib.sha1(b"docs/roadmap_overview.md").hexdigest()[:12]
     hits = full_out["triples"].filter(F.col("obj").endswith(":" + h)).count()
     assert hits == 0
+
+
+def test_fused_selections_equal_standalone_paths(spark, full_corpus):
+    """The pipeline's row-local fused selection (context_triples_parts)
+    must emit exactly the edges the standalone per-stage paths produce —
+    including tie-breaks — on the full fixture corpus."""
+    from kgcompass_spark.operators.context import (
+        context_triples_parts,
+        link_commit_context,
+        link_documentation,
+        link_repair_experience,
+        commit_method_triples,
+    )
+    from kgcompass_spark.pipeline import prepare_pages
+
+    pages, entities, _, commits, docs, _ = full_corpus
+    issues = prepare_pages(pages, CUTOFF).select("url", "warc_ts", "clean_text")
+    ctx_pass, ctx_merge = context_triples_parts(
+        issues, entities, commits=commits, docs=docs
+    )
+    fused = {
+        tuple(r)
+        for r in ctx_pass.unionByName(ctx_merge.distinct())
+        .dropDuplicates(["subj", "predicate", "obj"])
+        .collect()
+    }
+    standalone = {
+        tuple(r)
+        for r in link_commit_context(issues, commits)
+        .unionByName(commit_method_triples(commits, entities))
+        .unionByName(link_repair_experience(issues, commits))
+        .unionByName(link_documentation(issues, docs, entities))
+        .dropDuplicates(["subj", "predicate", "obj"])
+        .collect()
+    }
+    assert fused == standalone
+
+
+def test_fused_dictionary_join_equals_standalone_resolvers(spark, full_corpus):
+    """link_dictionary_mentions ≡ the union of the three standalone
+    resolvers it fuses, as (url, entity_id, kind, weight) SETS (the fused
+    form may repeat a row where the call groupBy collapsed duplicates —
+    absorbed by the pipeline MERGE; the set must match exactly)."""
+    from kgcompass_spark.operators.linking import (
+        link_call_mentions,
+        link_dictionary_mentions,
+        link_file_mentions,
+        link_qualified_mentions,
+    )
+    from kgcompass_spark.pipeline import extract_mentions, prepare_pages
+
+    pages, entities, _, _, _, _ = full_corpus
+    mentions = extract_mentions(prepare_pages(pages, CUTOFF))
+    fused = {tuple(r) for r in link_dictionary_mentions(mentions, entities).collect()}
+    standalone = {
+        tuple(r)
+        for r in link_file_mentions(mentions, entities)
+        .unionByName(link_qualified_mentions(mentions, entities))
+        .unionByName(link_call_mentions(mentions, entities))
+        .collect()
+    }
+    assert fused == standalone
