@@ -152,6 +152,7 @@ def build_kg(
     persist: bool = False,
     commits: DataFrame | None = None,
     docs: DataFrame | None = None,
+    canonicalize: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns the stage DataFrames (lazy).
 
@@ -165,6 +166,13 @@ def build_kg(
     page-dedup shuffle would run 5× (observed in the physical plan). On a
     cluster this is the difference between one and five scans of the 100-TB
     pages table. Caller owns unpersist.
+
+    ``canonicalize=True`` appends the north-rule canonicalization stage
+    (``operators/canonicalize.py``): entity spelling variants merge via CC
+    union-find over natural keys and triples are rewritten through the
+    mapping (returned as ``out["canonical_mapping"]``). It adds one full
+    (subj, predicate, obj) re-dedup exchange, so the scoped-MERGE
+    optimization above is superseded on that path; default off.
     """
     prepared = prepare_pages(pages, cutoff)
     if persist:
@@ -208,6 +216,18 @@ def build_kg(
         )
         if ctx_pass is not None:
             triples = triples.unionByName(ctx_pass)
+    canonical = None
+    if canonicalize:
+        # north-rule canonicalization stage: CC union-find over the
+        # entity↔natural-key bipartite graph (the reference's MERGE-on-
+        # natural-key identity guarantee as an equivalence closure), then
+        # subj/obj rewritten through the broadcast mapping with MERGE
+        # re-dedup. Identity mappings (no spelling variants) pass triples
+        # through value-unchanged.
+        from .operators.canonicalize import canonical_mapping, canonicalize_triples
+
+        canonical = canonical_mapping(entities)
+        triples = canonicalize_triples(triples, canonical)
     if include_reverse:
         triples = with_reverse_edges(triples)
     out = {
@@ -217,4 +237,6 @@ def build_kg(
         "links": links,
         "triples": triples,
     }
+    if canonical is not None:
+        out["canonical_mapping"] = canonical
     return out

@@ -83,3 +83,55 @@ def test_canonicalize_triples_rewrites_and_dedups(spark):
     assert len([k for k in by if k[1] == "points to file"]) == 2
     canon_ab = [k for k in by if k[1] == "points to file" and k[2] != "file:c/d.py"][0]
     assert by[canon_ab] == 0.25
+
+
+def test_build_kg_canonicalize_merges_variant_entities(spark):
+    """build_kg(canonicalize=True): a spelling-variant duplicate of a file
+    entity collapses to one canonical id in the emitted triples, and the
+    variant id disappears from the KG."""
+    from pyspark.sql import functions as F
+
+    from kgcompass_spark.pipeline import build_kg
+    from kgcompass_spark.sources.datagen import CUTOFF, corpus_dataframes
+
+    pages, entities, _, _ = corpus_dataframes(spark, n_pages=40)
+    some_file = entities.filter(F.col("kind") == "file").limit(1).collect()[0]
+    variant = spark.createDataFrame(
+        [
+            (
+                some_file["entity_id"] + "#dup",
+                "file",
+                some_file["name"],
+                some_file["short_name"],
+                some_file["signature"],
+                "./" + some_file["file_path"],
+                some_file["start_line"],
+                some_file["end_line"],
+                some_file["doc_string"],
+                some_file["aliases"],
+            )
+        ],
+        entities.schema,
+    )
+    aug = entities.unionByName(variant)
+    out = build_kg(pages, aug, cutoff=CUTOFF, canonicalize=True)
+    triples = out["triples"]
+    # the variant id never appears as subj or obj
+    assert (
+        triples.filter(
+            (F.col("subj") == some_file["entity_id"] + "#dup")
+            | (F.col("obj") == some_file["entity_id"] + "#dup")
+        ).count()
+        == 0
+    )
+    # the mapping sends the variant to the original (min id)
+    m = {
+        r["entity_id"]: r["canonical_id"]
+        for r in out["canonical_mapping"].collect()
+    }
+    assert m[some_file["entity_id"] + "#dup"] == some_file["entity_id"]
+    # and without canonicalization the output is unchanged vs the plain
+    # pipeline (identity mapping on the clean inventory)
+    plain = build_kg(pages, entities, cutoff=CUTOFF)["triples"]
+    canon = build_kg(pages, entities, cutoff=CUTOFF, canonicalize=True)["triples"]
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in canon.collect()}
