@@ -369,9 +369,34 @@ _JAVA_CLASS_RE = _re.compile(
     r"(class|interface|enum)\s+([A-Za-z_$][\w$]*)"
 )
 _JAVA_METHOD_RE = _re.compile(
-    r"(?m)^[ \t]*" + _JAVA_ANNOT
-    + r"(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)+"
-    r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:\{|throws)"
+    # modifiers are OPTIONAL (package-private `int use() {...}` is a
+    # MethodDeclaration too); a statement can't take the shape
+    # `Type name(args) {` — keyword heads (if/for/while/switch/catch/try
+    # blocks) either hit _CTRL_KEYWORDS, carry no ws-terminated return
+    # type, or contain chars outside the return-type class. (?=[@\w]) pins
+    # the start to the declaration's own line (see _JAVA_BODYLESS_RE).
+    r"(?m)^[ \t]*(?=[@\w])" + _JAVA_ANNOT
+    + r"(?:(?:public|protected|private|static|final|synchronized|abstract|default|native)\s+)*"
+    # a body brace must follow (optionally after a throws clause) — an
+    # abstract `... snapshot() throws E;` has no body and belongs to the
+    # BODYLESS pass; accepting bare `throws` here made its span swallow
+    # the next method
+    r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:throws[^;{]*)?\{"
+)
+# bodyless member declarations (interface methods, abstract methods):
+# `R apply(T in);` / `public abstract void f() throws E;` — javalang emits
+# these as MethodDeclaration nodes like any other. Statement-position false
+# positives (`return foo(x);`) are excluded positionally: a member
+# declaration can never sit inside another method's brace span. Field
+# initializers never match because `=` is outside the return-type class.
+_JAVA_BODYLESS_RE = _re.compile(
+    # (?=[@\w]) pins the match start to the declaration's own first line:
+    # without it the \s-admitting return-type class lets a match begin on
+    # the blanked line of a masked javadoc above, which breaks the
+    # doc-comment lookup
+    r"(?m)^[ \t]*(?=[@\w])" + _JAVA_ANNOT
+    + r"(?:(?:public|protected|private|static|abstract|default|final|native)\s+)*"
+    r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:throws[^;{]*)?;"
 )
 # optional single-level template prefix: `template <typename T> class X {`
 # on one line. Nested template-template default args ("vector<int>>") still
@@ -384,6 +409,7 @@ _CPP_FUNC_RE = _re.compile(
     r"[\w:<>~&*\s]+?\b([A-Za-z_]\w*)\s*\(([^;)]*)\)\s*(?:const\s*)?\{"
 )
 _CTRL_KEYWORDS = frozenset({"if", "for", "while", "switch", "catch", "return", "new", "else", "do"})
+_STMT_HEAD_RE = _re.compile(r"\b(new|return|throw|yield|assert|case)\b")
 
 
 def _line_of(source: str, pos: int) -> int:
@@ -559,12 +585,21 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
         return best[1] if best else None
 
     seen: set[tuple[int, str]] = set()
+    method_spans: list[tuple[int, int]] = []
+
+    def _stmt_prefix(m) -> bool:
+        # `new Thread(r) {` (anonymous subclass) / `throw new E(x);` are
+        # statements whose head word sits in the would-be return type
+        return bool(_STMT_HEAD_RE.search(masked[m.start():m.start(1)]))
+
     for m in method_re.finditer(masked):
         mname = m.group(1)
-        if mname in _CTRL_KEYWORDS:
+        if mname in _CTRL_KEYWORDS or _stmt_prefix(m):
             continue
         s_line = _line_of(source, m.start())
-        e_line = _brace_end_line(masked, m.end() - 1)
+        ep = _brace_span_end(masked, m.end() - 1)
+        method_spans.append((m.start(), ep))
+        e_line = _line_of(source, ep)
         owner = _owner(m.start())
         if owner:
             qname = f"{owner}.{mname}"
@@ -608,7 +643,9 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                 # the constructor must belong to THIS class, not a nested one
                 if _owner(m.start()) != cq:
                     continue
-                e_line = _brace_end_line(masked, m.end() - 1)
+                ep = _brace_span_end(masked, m.end() - 1)
+                method_spans.append((m.start(), ep))
+                e_line = _line_of(source, ep)
                 seen.add((s_line, cshort))
                 rows.append(dict(
                     file_path=file_path, kind="method", name=f"{cq}.{cshort}",
@@ -617,6 +654,31 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                     start_line=s_line, end_line=e_line,
                     doc_string=_doc_comment_before(source, m.start()),
                 ))
+    if constructors:
+        # Java bodyless member declarations (interface + abstract methods).
+        # Positional guard: member declarations live directly in a class
+        # body, so any candidate inside an emitted method's brace span is a
+        # statement (`return foo(x);`), not a declaration.
+        for m in _JAVA_BODYLESS_RE.finditer(masked):
+            mname = m.group(1)
+            if mname in _CTRL_KEYWORDS or _stmt_prefix(m):
+                continue
+            if any(sp < m.start(1) <= ep for (sp, ep) in method_spans):
+                continue
+            owner = _owner(m.start())
+            if owner is None:
+                continue
+            s_line = _line_of(source, m.start())
+            if (s_line, mname) in seen:
+                continue
+            seen.add((s_line, mname))
+            rows.append(dict(
+                file_path=file_path, kind="method", name=f"{owner}.{mname}",
+                short_name=mname,
+                signature=f"{mname}({m.group(2).strip()})",
+                start_line=s_line, end_line=_line_of(source, m.end() - 1),
+                doc_string=_doc_comment_before(source, m.start()),
+            ))
     rows.sort(key=lambda r: (r["start_line"], r["kind"], r["name"]))
     return rows
 

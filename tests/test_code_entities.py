@@ -381,3 +381,39 @@ def test_java_annotations_and_generics():
     assert rows["toText"]["name"] == "com.ex.Box.toText"   # same-line @Override
     assert rows["filterAll"]["signature"] == "filterAll(List<T> items, Map<String, T> idx)"
     assert "index" in rows
+
+
+def test_java_bodyless_interface_and_abstract_methods():
+    """Interface methods and abstract methods have no body but are
+    MethodDeclaration nodes under javalang (language_factory.py:955-1010);
+    the bodyless pass emits them with single-declaration spans and their
+    javadoc, while statement-position calls (`return foo(x);`) and field
+    initializers (`int L = compute();`) never match."""
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = (
+        "package p;\n"
+        "public interface Mapper<T, R> {\n"
+        "    /** Transforms one value. */\n"
+        "    R apply(T input);\n"
+        "    default R twice(T in) { return apply(in); }\n"
+        "}\n"
+        "abstract class Base {\n"
+        "    public abstract int size() throws IllegalStateException;\n"
+        "    int use() {\n"
+        "        doWork(1);\n"
+        "        return helper(2);\n"
+        "    }\n"
+        "    private static final int LIMIT = compute();\n"
+        "}\n"
+    )
+    rows = {r["name"]: r for r in parse_java_entities("p/Mapper.java", src)}
+    assert rows["p.Mapper.apply"]["signature"] == "apply(T input)"
+    assert rows["p.Mapper.apply"]["start_line"] == 4
+    assert rows["p.Mapper.apply"]["end_line"] == 4
+    assert rows["p.Mapper.apply"]["doc_string"] == "Transforms one value."
+    assert rows["p.Base.size"]["start_line"] == 8
+    assert rows["p.Base.size"]["end_line"] == 8  # abstract+throws: no body swallow
+    assert rows["p.Base.use"]["end_line"] == 12
+    for bad in ("doWork", "helper", "compute"):
+        assert not any(n.endswith("." + bad) for n in rows), bad
