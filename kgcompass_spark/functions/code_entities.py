@@ -410,6 +410,21 @@ _CPP_FUNC_RE = _re.compile(
 )
 _CTRL_KEYWORDS = frozenset({"if", "for", "while", "switch", "catch", "return", "new", "else", "do"})
 _STMT_HEAD_RE = _re.compile(r"\b(new|return|throw|yield|assert|case)\b")
+# C++ in-class member DECLARATIONS (`void f(int) const;`, pure virtual
+# `= 0`) — libclang emits a cursor for declarations exactly as for
+# definitions. Class-scope only (the scan requires an owner): at class
+# scope `Foo v(x);` cannot be a variable (member parens-init is invalid
+# C++), so the vexing-parse ambiguity doesn't arise there. The (?<![~\w])
+# lookbehind skips destructors rather than mis-naming `~Foo` as `Foo`.
+_CPP_BODYLESS_RE = _re.compile(
+    # single-line type prefix ([ \t], not \s): letting it cross newlines
+    # made a match swallow a preceding `public:` access-specifier line,
+    # shifting start_line and breaking the doc-comment lookup. Bare
+    # constructor declarations (`Engine();` — empty prefix) are skipped.
+    r"(?m)^[ \t]*(?=[\w~])(?!(?:if|for|while|switch|catch|return|else|using|typedef|friend)\b|#)"
+    r"[\w:<>~&*\t ]+?(?<![~\w])([A-Za-z_]\w*)\s*\(([^;)]*)\)\s*"
+    r"(?:const\s*)?(?:noexcept\s*)?(?:override\s*)?(?:final\s*)?(?:=\s*0\s*)?;"
+)
 
 
 def _line_of(source: str, pos: int) -> int:
@@ -654,12 +669,18 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                     start_line=s_line, end_line=e_line,
                     doc_string=_doc_comment_before(source, m.start()),
                 ))
+    bodyless_re = None
     if constructors:
-        # Java bodyless member declarations (interface + abstract methods).
-        # Positional guard: member declarations live directly in a class
-        # body, so any candidate inside an emitted method's brace span is a
-        # statement (`return foo(x);`), not a declaration.
-        for m in _JAVA_BODYLESS_RE.finditer(masked):
+        bodyless_re = _JAVA_BODYLESS_RE
+    elif namespaces:
+        bodyless_re = _CPP_BODYLESS_RE
+    if bodyless_re is not None:
+        # Bodyless member declarations (Java interface/abstract methods,
+        # C++ in-class declarations incl. pure virtual). Positional guard:
+        # member declarations live directly in a class body, so any
+        # candidate inside an emitted method's brace span is a statement
+        # (`return foo(x);`), not a declaration.
+        for m in bodyless_re.finditer(masked):
             mname = m.group(1)
             if mname in _CTRL_KEYWORDS or _stmt_prefix(m):
                 continue

@@ -417,3 +417,33 @@ def test_java_bodyless_interface_and_abstract_methods():
     assert rows["p.Base.use"]["end_line"] == 12
     for bad in ("doWork", "helper", "compute"):
         assert not any(n.endswith("." + bad) for n in rows), bad
+
+
+def test_cpp_in_class_declarations():
+    """C++ header-style member DECLARATIONS (no body) — pure virtual,
+    const/noexcept — extract like libclang cursors; statements inside a
+    definition body and member variables never match."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        "namespace alpha {\n"
+        "class Engine {\n"
+        "public:\n"
+        "    virtual void start(int mode) = 0;\n"
+        "    std::vector<int> scan(const char* p) const noexcept;\n"
+        "    int run() {\n"
+        "        int v = helper(2);\n"
+        "        tick(v);\n"
+        "        return v;\n"
+        "    }\n"
+        "private:\n"
+        "    int count_;\n"
+        "    static Engine* instance;\n"
+        "};\n"
+        "}\n"
+    )
+    rows = {r["name"].split(".")[-1]: r for r in parse_cpp_entities("alpha/engine.h", src)}
+    assert set(rows) == {"Engine", "start", "scan", "run"}
+    assert rows["start"]["start_line"] == 4 and rows["start"]["end_line"] == 4
+    assert rows["scan"]["signature"] == "scan(const char* p)"
+    assert rows["run"]["end_line"] == 10
