@@ -124,6 +124,10 @@ def main() -> None:
         # the batched evidence export: 25 roots, multi-path seeded support,
         # per-root capping + rank windows over the supplier/lineitem KG
         "evidence_export_batched",
+        # fuzzy canonicalization end-to-end: 20k spelling-variant entities
+        # through char-gram MinHash-LSH blocking, exact-Jaccard edges, and
+        # the CC union-find closure
+        "lsh_canonical_map",
     ]
     # warm-up + best-of-2 (same protocol as the pipeline queries): a cold
     # single shot on this VM mixes JIT/codegen/GC noise into the reading —
