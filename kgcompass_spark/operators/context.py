@@ -598,7 +598,10 @@ def documentation_parts(
         F.lit(NORMAL_CONNECTION).alias("weight"),
         F.col("url").alias("src_url"),
     )
-    sel_resolved = selected.join(resolved, "doc_path")
+    # broadcast the tiny resolved-symbol table: without the hint this join
+    # shuffled the page-derived ``selected`` side on doc_path (seen in a
+    # plan audit) — at scale that is a pages-sized exchange for a dim join
+    sel_resolved = selected.join(F.broadcast(resolved), "doc_path")
     # dedup (doc, file) on the TINY resolved side before fanning out per
     # issue: ``selected`` is unique per (url, doc_path), so the join output
     # is already distinct — a post-join .distinct() here shuffled ~750k
@@ -703,7 +706,7 @@ def context_triples_parts(
                 F.col("committed_ts").cast("double").alias("_cts"),
                 F.lit(True).alias("_isc"),
             )
-            .join(rep_ids, "_aid", "left")
+            .join(F.broadcast(rep_ids), "_aid", "left")
             .withColumn("_rep", F.coalesce("_rep", F.lit(False)))
         )
         d_one = eligible_docs(docs).select(
