@@ -398,9 +398,10 @@ _JAVA_BODYLESS_RE = _re.compile(
     + r"(?:(?:public|protected|private|static|abstract|default|final|native)\s+)*"
     r"[\w.<>,\[\]?\s]*?\s([A-Za-z_$][\w$]*)\s*\(([^)]*)\)\s*(?:throws[^;{]*)?;"
 )
-# optional single-level template prefix: `template <typename T> class X {`
-# on one line. Nested template-template default args ("vector<int>>") still
-# defeat the [^>{]* scan — a real parser problem, documented limitation.
+# template headers (incl. multi-line and nested template-template params)
+# are blanked by the balanced-angle walk in _mask_template_headers before
+# this regex runs, so a bare single-line prefix branch is kept only for
+# direct callers that skip the mask
 _CPP_CLASS_RE = _re.compile(
     r"(?m)^[ \t]*(?:template\s*<[^>{]*>\s*)?(class|struct|union)\s+([A-Za-z_]\w*)[^;{]*\{"
 )
@@ -429,6 +430,41 @@ _CPP_BODYLESS_RE = _re.compile(
 
 def _line_of(source: str, pos: int) -> int:
     return source.count("\n", 0, pos) + 1
+
+
+_TEMPLATE_KW_RE = _re.compile(r"\btemplate\s*<")
+
+
+def _mask_template_headers(masked: str) -> str:
+    """Blank C++ ``template <...>`` headers (balanced-angle walk, so nested
+    template-template parameters and multi-line headers both work) in the
+    already string/comment-masked text. Afterwards `class Foo {` sits on a
+    whitespace-only prefix, so the ordinary class regex matches — this
+    replaces the old single-line ``template\\s*<[^>{]*>`` prefix hack whose
+    non-nesting scan missed ``template <typename T, template<class> class
+    C>`` declarations entirely. Length- and newline-preserving."""
+    out = list(masked)
+    for m in _TEMPLATE_KW_RE.finditer(masked):
+        depth, i, n = 0, m.end() - 1, len(masked)
+        end = None
+        while i < n:
+            c = masked[i]
+            if c == "<":
+                depth += 1
+            elif c == ">":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            elif c == "{" or c == ";":
+                break  # unbalanced (operator< etc.) — leave untouched
+            i += 1
+        if end is None:
+            continue
+        for j in range(m.start(), end + 1):
+            if out[j] not in "\n":
+                out[j] = " "
+    return "".join(out)
 
 
 def _mask_strings_comments(src: str) -> str:
@@ -559,6 +595,8 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
     position-preserving)."""
     source = source or ""
     masked = _mask_strings_comments(source)
+    if namespaces:
+        masked = _mask_template_headers(masked)
     rows: list[dict] = []
     # (short, start_pos, end_pos, emit_row) — namespaces qualify but don't emit
     scopes: list[tuple[str, int, int, bool, str]] = []

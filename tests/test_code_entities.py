@@ -447,3 +447,25 @@ def test_cpp_in_class_declarations():
     assert rows["start"]["start_line"] == 4 and rows["start"]["end_line"] == 4
     assert rows["scan"]["signature"] == "scan(const char* p)"
     assert rows["run"]["end_line"] == 10
+
+
+def test_cpp_multiline_and_nested_template_headers():
+    """Multi-line template headers and template-template parameters are
+    blanked by a balanced-angle walk before the class scan, so the
+    declaration extracts; `operator<` never confuses the walk."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        "template <typename T,\n"
+        "          template<class> class C = std::vector>\n"
+        "class Registry {\n"
+        "public:\n"
+        "    virtual T get(int i) const = 0;\n"
+        "};\n"
+        "bool operator<(const Registry<int, std::vector>& a,\n"
+        "               const Registry<int, std::vector>& b) { return false; }\n"
+    )
+    rows = {r["name"].split(".")[-1]: r for r in parse_cpp_entities("r.hpp", src)}
+    assert "Registry" in rows and rows["Registry"]["start_line"] == 3
+    assert "get" in rows
+    assert "operator" not in rows
