@@ -417,6 +417,21 @@ _STMT_HEAD_RE = _re.compile(r"\b(new|return|throw|yield|assert|case)\b")
 # scope `Foo v(x);` cannot be a variable (member parens-init is invalid
 # C++), so the vexing-parse ambiguity doesn't arise there. The (?<![~\w])
 # lookbehind skips destructors rather than mis-naming `~Foo` as `Foo`.
+# C++ file/namespace-scope variable declarations → global_var entities.
+# The reference's preorder walk emits EVERY VAR_DECL — locals included
+# (language_factory.py:722-730) — which floods the inventory with
+# function-body noise; this scan keeps the useful subset: true globals at
+# file or namespace scope (not class fields, not locals — both excluded
+# positionally). Parenthesized initializers are skipped on purpose: at
+# file scope `Foo bar(1);` parses as a function declaration (the vexing
+# parse), matching the compiler's reading.
+_CPP_GLOBAL_VAR_RE = _re.compile(
+    r"(?m)^[ \t]*(?!(?:using|typedef|template|return|throw|friend|namespace|class|struct|union|enum)\b|#)"
+    r"(?:(?:static|const|constexpr|extern|inline|volatile|thread_local)\s+)*"
+    r"[\w:<>,&*\t ]+?(?<![~\w])([A-Za-z_]\w*)"
+    r"((?:\s*\[[^\]]*\])*)\s*(?:=[^;]*|\{[^;{}]*\})?;"
+)
+
 _CPP_BODYLESS_RE = _re.compile(
     # single-line type prefix ([ \t], not \s): letting it cross newlines
     # made a match swallow a preceding `public:` access-specifier line,
@@ -735,6 +750,33 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                 file_path=file_path, kind="method", name=f"{owner}.{mname}",
                 short_name=mname,
                 signature=f"{mname}({m.group(2).strip()})",
+                start_line=s_line, end_line=_line_of(source, m.end() - 1),
+                doc_string=_doc_comment_before(source, m.start()),
+            ))
+    if namespaces:
+        # file/namespace-scope globals (VAR_DECL parity, minus locals and
+        # fields — see _CPP_GLOBAL_VAR_RE)
+        for m in _CPP_GLOBAL_VAR_RE.finditer(masked):
+            vname = m.group(1)
+            if vname in _CTRL_KEYWORDS or _stmt_prefix(m):
+                continue
+            if _owner(m.start()) is not None:
+                continue  # class/struct field, not a global
+            if any(sp < m.start(1) <= ep for (sp, ep) in method_spans):
+                continue  # function-local
+            s_line = _line_of(source, m.start())
+            if (s_line, vname) in seen:
+                continue
+            seen.add((s_line, vname))
+            ns = [
+                s
+                for (s, sp, ep, emit, _) in sorted(scopes, key=lambda x: x[1])
+                if not emit and sp < m.start() <= ep
+            ]
+            parts = ([module] if module else []) + ns + [vname]
+            rows.append(dict(
+                file_path=file_path, kind="global_var", name=".".join(parts),
+                short_name=vname, signature=vname + m.group(2).strip(),
                 start_line=s_line, end_line=_line_of(source, m.end() - 1),
                 doc_string=_doc_comment_before(source, m.start()),
             ))

@@ -469,3 +469,31 @@ def test_cpp_multiline_and_nested_template_headers():
     assert "Registry" in rows and rows["Registry"]["start_line"] == 3
     assert "get" in rows
     assert "operator" not in rows
+
+
+def test_cpp_global_variables():
+    """File/namespace-scope VAR_DECL parity (language_factory.py:722-730),
+    minus the reference's preorder-walk noise: locals and class fields are
+    excluded positionally."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        "namespace cfg {\n"
+        "static const int kMaxRetries = 5;\n"
+        "extern bool g_ready;\n"
+        "int counters[16];\n"
+        "class Engine {\n"
+        "    int field_;\n"
+        "public:\n"
+        "    int run() {\n"
+        "        int local_v = 3;\n"
+        "        return local_v;\n"
+        "    }\n"
+        "};\n"
+        "}\n"
+        "int top_level = 7;\n"
+    )
+    rows = {r["name"].split(".")[-1]: r["kind"] for r in parse_cpp_entities("cfg/l.cpp", src)}
+    globals_found = {n for n, k in rows.items() if k == "global_var"}
+    assert globals_found == {"kMaxRetries", "g_ready", "counters", "top_level"}
+    assert "local_v" not in rows and "field_" not in rows
