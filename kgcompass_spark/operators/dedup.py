@@ -110,8 +110,12 @@ def minhash_signatures(
     # path keys signatures BY the normalized string) never reads as a
     # lateral-alias reference under Spark 4's analyzer
     sh = shingle_col if shingle_col is not None else shingles(F.col(text_col), shingle_k)
+    # distinct BEFORE exploding: min over a set equals min over the
+    # multiset, and repetitive text (boilerplate, templated docs) repeats
+    # shingles heavily — every duplicate dropped here is one fewer row
+    # through the explode stream and the 32-min agg
     exploded = docs.select(
-        sh.alias("__sh"), F.col(id_col).alias("doc_id")
+        F.array_distinct(sh).alias("__sh"), F.col(id_col).alias("doc_id")
     ).select(
         "doc_id",
         F.explode("__sh").alias("shingle"),
