@@ -105,21 +105,34 @@ def minhash_signatures(
     #
     # xxhash64 is reduced into 31 bits before the affine transform so
     # a*h + b never overflows a long under ANSI arithmetic (Spark 4 default).
-    # two-step projection: alias the shingle array before exploding it, so a
-    # shingle expression referencing the id column itself (the alias-linking
-    # path keys signatures BY the normalized string) never reads as a
-    # lateral-alias reference under Spark 4's analyzer
-    sh = shingle_col if shingle_col is not None else shingles(F.col(text_col), shingle_k)
+    #
     # distinct BEFORE exploding: min over a set equals min over the
     # multiset, and repetitive text (boilerplate, templated docs) repeats
     # shingles heavily — every duplicate dropped here is one fewer row
-    # through the explode stream and the 32-min agg
-    exploded = docs.select(
-        F.array_distinct(sh).alias("__sh"), F.col(id_col).alias("doc_id")
-    ).select(
-        "doc_id",
-        F.explode("__sh").alias("shingle"),
-    ).select(
+    # through the explode stream and the 32-min agg.
+    if shingle_col is not None:
+        # Two-step projection: alias the shingle array before exploding it,
+        # so a shingle expression referencing the id column itself (the
+        # alias-linking path keys signatures BY the normalized string) never
+        # reads as a lateral-alias reference under Spark 4's analyzer.
+        exploded = docs.select(
+            F.array_distinct(shingle_col).alias("__sh"), F.col(id_col).alias("doc_id")
+        ).select(
+            "doc_id",
+            F.explode("__sh").alias("shingle"),
+        )
+    else:
+        # One-step: explode in the SAME select. The extra Project under the
+        # Generate in the two-step form breaks codegen fusion and
+        # materializes the full shingle array per row — measured 2× slower
+        # on the signature stage at sf0.1 (3.4 s one-step vs 7.1 s two-step).
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias(
+                "shingle"
+            ),
+        )
+    exploded = exploded.select(
         "doc_id",
         F.pmod(hash_fn("shingle"), F.lit((1 << 31) - 1)).alias("h"),
     )
@@ -190,28 +203,42 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    # bucket stats ride the same (band_id, band_hash) shuffle key; the join
-    # back is key-aligned so AQE coalesces it with the self-join exchange
-    stats = banded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("_bsize"), F.min("doc_id").alias("_bmin")
+    # ONE exchange on (band_id, band_hash): collect the bucket's members
+    # into a sorted array and enumerate pairs IN-ROW with higher-order
+    # functions. The previous shape (stats groupBy + join-back + bucket
+    # self-join) shipped the banded rows through a join on top of the same
+    # shuffle key — the hash-join probe and the join-back cost ~2× the
+    # enumeration itself. A bucket's members land in one task either way
+    # (that is what the blocking key means), so the collect_list holds
+    # nothing the self-join's hash table didn't.
+    bucketed = banded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_m")
     )
-    banded = banded.join(stats, ["band_id", "band_hash"])
-    small = banded.filter(F.col("_bsize") <= max_bucket_size)
-    a = small.alias("a")
-    b = small.alias("b")
-    pairs_small = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    m = F.col("_m")
+    sz = F.size(m)
+    # small bucket: all i<j pairs of the sorted members (doc_a < doc_b by
+    # construction); mega bucket: star around the min member — same
+    # connectivity for CC consumers, B−1 instead of B² rows
+    all_pairs = F.flatten(
+        F.transform(
+            m,
+            lambda a, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(sz - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
     )
-    pairs_big = banded.filter(
-        (F.col("_bsize") > max_bucket_size) & (F.col("doc_id") != F.col("_bmin"))
-    ).select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    star_pairs = F.transform(
+        F.slice(m, 2, F.greatest(sz - 1, F.lit(0))),
+        lambda b: F.struct(F.element_at(m, 1).alias("doc_a"), b.alias("doc_b")),
+    )
     return (
-        pairs_small.unionByName(pairs_big)
+        bucketed.select(
+            F.explode(
+                F.when(sz <= max_bucket_size, all_pairs).otherwise(star_pairs)
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
