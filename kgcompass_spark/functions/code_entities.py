@@ -491,8 +491,10 @@ def _mask_strings_comments(src: str) -> str:
     corrupt every following span — the bug class the reference's own
     ``_find_block_end`` brace counting is blind to. Positions and line
     numbers are identical between the two strings, so doc-comment lookups
-    still read the ORIGINAL source at the same offsets. Not handled (noted
-    limitation): Java text blocks (\"\"\") and C++ raw strings R"(...)".
+    still read the ORIGINAL source at the same offsets. A digit-flanked
+    apostrophe (C++14 separator, ``1'000'000``) is NOT a char-literal
+    opener and is skipped. Not handled (noted limitation): Java text
+    blocks (\"\"\") and C++ raw strings R"(...)".
     """
     out = list(src)
     i, n = 0, len(src)
@@ -512,6 +514,10 @@ def _mask_strings_comments(src: str) -> str:
                 if out[k] != "\n":
                     out[k] = " "
             i = j
+        elif c == "'" and i > 0 and src[i - 1].isdigit() and nxt.isdigit():
+            # C++14 digit separator — treating it as a char literal would
+            # blank the rest of the line and could hide a brace on it
+            i += 1
         elif c in ('"', "'"):
             j = i + 1
             while j < n:

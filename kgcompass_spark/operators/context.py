@@ -105,6 +105,17 @@ def issue_token_arrays(issues: DataFrame) -> DataFrame:
 # per-row literal-array intersect would cost more than it saves
 _VOCAB_PRUNE_MAX = 8192
 
+# Row-local context selection collects the WHOLE artifact inventory into one
+# broadcast array<struct> row and scores it per page (see
+# ``context_triples_parts``). That wins (−21% on the full pipeline) while the
+# inventory is per-repo-sized, but the per-page transform is O(|artifacts|)
+# and the single collect_list row grows without bound — at a multi-repo
+# corpus a 100k-commit repo would make every page's projection a straggler
+# and the one array row an OOM. Above this many artifacts the pipeline falls
+# back to the groupBy hash-agg selection path, whose cost scales with the
+# (score > 0) candidate pairs instead.
+_ROW_LOCAL_MAX_ARTIFACTS = 4096
+
 
 def score_artifacts(
     issues: DataFrame | None,
@@ -133,9 +144,15 @@ def score_artifacts(
     art_arr = artifacts.select(
         F.col(id_col), context_tokens(text_col).alias("_atoks")
     )
+    # limit(max+1): the collect exists only to decide "is the vocabulary
+    # small" and to build the prune array — never pull more than one row
+    # past the threshold to the driver
     vocab = [
         r[0]
-        for r in art_arr.select(F.explode("_atoks").alias("t")).distinct().collect()
+        for r in art_arr.select(F.explode("_atoks").alias("t"))
+        .distinct()
+        .limit(_VOCAB_PRUNE_MAX + 1)
+        .collect()
     ]
     it = issue_arrays
     if 0 < len(vocab) <= _VOCAB_PRUNE_MAX:
@@ -700,7 +717,13 @@ def context_triples_parts(
             .select(F.col("commit_id").alias("_aid"), F.lit(True).alias("_rep"))
         )
         c_one = (
-            elig.select(
+            # committed_ts IS NOT NULL: the standalone path's leakage guard
+            # (committed_ts <= warc_ts) drops null-timestamp commits from
+            # every selection; the fused sort key would coalesce null to
+            # epoch 0 and let them PASS — filter them here so both branches
+            # agree
+            elig.filter(F.col("committed_ts").isNotNull())
+            .select(
                 F.col("commit_id").alias("_aid"),
                 context_tokens(_commit_score_text()).alias("_atoks"),
                 F.col("committed_ts").cast("double").alias("_cts"),
@@ -716,15 +739,49 @@ def context_triples_parts(
             F.lit(False).alias("_isc"),
             F.lit(False).alias("_rep"),
         )
-        art_all = c_one.select("_aid", "_atoks", "_cts", "_isc", "_rep").unionByName(
-            d_one
+        # persisted: consumed by the size-gate probe, the vocabulary prune,
+        # and the selection aggregate — without the persist the artifact
+        # token job runs three times (this is also the one EAGER action in
+        # an otherwise lazy plan builder; see build_kg's docstring)
+        art_all = _share(
+            c_one.select("_aid", "_atoks", "_cts", "_isc", "_rep").unionByName(d_one)
         )
+        # size gate: the row-local selection broadcasts the WHOLE inventory
+        # as one array row and scores it per page — O(|artifacts|) per page.
+        # Above the gate, fall back to the groupBy hash-agg selections whose
+        # cost follows the (score > 0) candidate pairs instead. limit(+1):
+        # the probe only answers "over the gate?", never counts the corpus.
+        n_art = art_all.limit(_ROW_LOCAL_MAX_ARTIFACTS + 1).count()
+        if n_art > _ROW_LOCAL_MAX_ARTIFACTS:
+            scored = _share(
+                commit_context_scores(issues, commits, issue_arrays=toks)
+            )
+            sel_fb_commits, sel_fb_repair = commit_repair_selections(scored, commits)
+            parts.append(
+                link_commit_context(issues, commits, selected=sel_fb_commits)
+            )
+            parts.append(commit_method_triples(commits, entities))
+            parts.append(
+                link_repair_experience(issues, commits, selected=sel_fb_repair)
+            )
+            doc_pass, collidable = documentation_parts(
+                issues, docs, entities, issue_arrays=toks
+            )
+            parts.append(doc_pass)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out, collidable
         # vocabulary prune (same guard as score_artifacts): issue token
         # arrays shrink to the artifact vocabulary before the per-artifact
-        # intersects, so each intersect is O(|shared candidates|)
+        # intersects, so each intersect is O(|shared candidates|).
+        # limit(max+1): never pull more than one row past the threshold.
         vocab = [
             r[0]
-            for r in art_all.select(F.explode("_atoks").alias("t")).distinct().collect()
+            for r in art_all.select(F.explode("_atoks").alias("t"))
+            .distinct()
+            .limit(_VOCAB_PRUNE_MAX + 1)
+            .collect()
         ]
         it = toks
         if 0 < len(vocab) <= _VOCAB_PRUNE_MAX:

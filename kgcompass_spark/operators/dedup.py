@@ -175,7 +175,11 @@ def minhash_lsh_candidates(
     the same connectivity as the clique, so no duplicate group is lost;
     only within-mega-bucket pair *enumeration* is capped. Buckets at or
     under the threshold are exhaustive, so results on non-degenerate
-    corpora are unchanged.
+    corpora are unchanged. NOTE for pair-enumeration consumers (e.g. the
+    ``n_shared_bands >= 2`` near-dup filter): inside a mega-bucket, pairs
+    not involving the bucket-min doc are never emitted — on degenerate
+    corpora such consumers see the star, not the clique (the DuckDB
+    oracle mirrors this).
 
     ``hash_fn`` defaults to ``F.xxhash64`` (the scale path); pass
     ``md5_60`` to band with a DuckDB-reproducible hash for oracle checks.

@@ -173,6 +173,12 @@ def build_kg(
     mapping (returned as ``out["canonical_mapping"]``). It adds one full
     (subj, predicate, obj) re-dedup exchange, so the scoped-MERGE
     optimization above is superseded on that path; default off.
+
+    NOT fully lazy when ``commits``/``docs`` are supplied: the context
+    stage runs two small driver-side actions at plan-construction time —
+    the row-local size-gate probe (``limit(N+1).count()``) and the
+    capped vocabulary-prune collect (``operators/context.py``); both are
+    bounded by their limits regardless of corpus size.
     """
     prepared = prepare_pages(pages, cutoff)
     if persist:

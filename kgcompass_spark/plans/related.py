@@ -42,12 +42,21 @@ from ..operators.ranking import node_type_from_id
 from ..operators.triples import with_reverse_edges
 
 
+def _maybe_bcast(df: DataFrame, hint: bool) -> DataFrame:
+    """Broadcast hint only when the caller says the table is dim-sized.
+    A per-instance node-embedding table is; a full-corpus batch-encoded
+    table at 100 TB is not — there the hint would OOM the driver, so pass
+    ``broadcast_embeddings=False`` and let Catalyst/AQE pick the strategy."""
+    return F.broadcast(df) if hint else df
+
+
 def _related_candidates(
     triples: DataFrame,
     entities: DataFrame,
     issue_texts: DataFrame,
     max_cost: float = 2.0,
     node_embeddings: DataFrame | None = None,
+    broadcast_embeddings: bool = True,
 ) -> DataFrame:
     """Parameter-INDEPENDENT candidate table shared by ``ranked_related_all``
     and the (decay, sim-weight) sweep: (root, node, entity_type, cost, hops,
@@ -117,11 +126,16 @@ def _related_candidates(
     df = df.withColumn("_ntext", ntext)
     if node_embeddings is not None:
         ne = node_embeddings.select("node", F.col("embedding").alias("_nemb"))
-        df = df.join(F.broadcast(ne), "node", "left")
+        df = df.join(_maybe_bcast(ne, broadcast_embeddings), "node", "left")
         rt = it.select(
             F.col("_iid").alias("root"), F.col("_itext").alias("_rtext")
         ).join(
-            F.broadcast(ne.withColumnRenamed("node", "root").withColumnRenamed("_nemb", "_remb")),
+            _maybe_bcast(
+                ne.withColumnRenamed("node", "root").withColumnRenamed(
+                    "_nemb", "_remb"
+                ),
+                broadcast_embeddings,
+            ),
             "root",
             "left",
         )

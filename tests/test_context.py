@@ -186,10 +186,17 @@ def test_unresolved_doc_not_linked(spark, full_corpus, full_out):
     assert hits == 0
 
 
-def test_fused_selections_equal_standalone_paths(spark, full_corpus):
+import pytest
+
+
+@pytest.mark.parametrize("gate", [None, 0])
+def test_fused_selections_equal_standalone_paths(spark, full_corpus, gate, monkeypatch):
     """The pipeline's row-local fused selection (context_triples_parts)
     must emit exactly the edges the standalone per-stage paths produce —
-    including tie-breaks — on the full fixture corpus."""
+    including tie-breaks — on the full fixture corpus. ``gate=0`` forces
+    every artifact inventory over ``_ROW_LOCAL_MAX_ARTIFACTS`` so the
+    groupBy hash-agg fallback engages; its edges must be identical too."""
+    from kgcompass_spark.operators import context as ctx_mod
     from kgcompass_spark.operators.context import (
         context_triples_parts,
         link_commit_context,
@@ -199,6 +206,8 @@ def test_fused_selections_equal_standalone_paths(spark, full_corpus):
     )
     from kgcompass_spark.pipeline import prepare_pages
 
+    if gate is not None:
+        monkeypatch.setattr(ctx_mod, "_ROW_LOCAL_MAX_ARTIFACTS", gate)
     pages, entities, _, commits, docs, _ = full_corpus
     issues = prepare_pages(pages, CUTOFF).select("url", "warc_ts", "clean_text")
     ctx_pass, ctx_merge = context_triples_parts(
