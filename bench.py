@@ -39,6 +39,7 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
 
     def timed(name: str, fn) -> float:
         t0 = time.perf_counter()
@@ -70,11 +71,13 @@ def main() -> None:
     # best-of-3 (cache cleared each time): single runs on this VM vary ~3×
     # from GC/IO noise; the minimum is the reproducible number
     kg_sec = None
+    reps["kg_pipeline"] = []
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         kg_run()
         dt = time.perf_counter() - t0
+        reps["kg_pipeline"].append(round(dt, 3))
         kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
     timings["kg_pipeline"] = round(kg_sec, 3)
 
@@ -98,11 +101,13 @@ def main() -> None:
     # process, round 4) — a third rep materially raises the odds of
     # catching a quiet window for the headline number
     full_sec = None
+    reps["kg_full_pipeline"] = []
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         kg_full_run()
         dt = time.perf_counter() - t0
+        reps["kg_full_pipeline"].append(round(dt, 3))
         full_sec = dt if full_sec is None or dt < full_sec else full_sec
     timings["kg_full_pipeline"] = round(full_sec, 3)
 
@@ -136,20 +141,33 @@ def main() -> None:
         fn = qs[name]
         fn(spark, SF_DIR).count()          # warm-up: JIT + codegen + workers
         best = None
+        reps[name] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
+            reps[name].append(round(dt, 3))
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    import subprocess
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "kg_construct_bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "commit": commit,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "n_pages": n_pages_actual,

@@ -449,6 +449,57 @@ def _line_of(source: str, pos: int) -> int:
 
 _TEMPLATE_KW_RE = _re.compile(r"\btemplate\s*<")
 
+_PP_DIRECTIVE_RE = _re.compile(r"(?m)^[ \t]*#[ \t]*(\w+)(.*)$")
+
+
+def _mask_disabled_regions(masked: str) -> str:
+    """Blank preprocessor-disabled regions — ``#if 0`` / ``#if false``
+    (and their nested conditionals) up to the matching ``#else`` /
+    ``#elif`` / ``#endif`` — in the already string/comment-masked text.
+    libclang sees only post-preprocessor code (reference
+    language_factory.py:616-801 walks the translation unit), so
+    declarations inside a disabled block must not be extracted; before
+    this pass the structural scan read them as live code, and an
+    unbalanced ``}`` inside one corrupted every following span. Only the
+    statically-false forms are evaluated — ``#if FEATURE_X``,
+    ``#ifdef``, and macro expansion in declaration heads stay unhandled
+    (noted limitation; full conditional evaluation needs the
+    preprocessor). Length- and newline-preserving."""
+    out = list(masked)
+    # stack of booleans: True = this conditional level started disabled
+    stack: list[bool] = []
+    blank_from: int | None = None
+    for m in _PP_DIRECTIVE_RE.finditer(masked):
+        word, rest = m.group(1), m.group(2).strip()
+        if word == "if":
+            is_zero = rest.split("//")[0].split("/*")[0].strip() in ("0", "false")
+            stack.append(is_zero)
+            if is_zero and blank_from is None:
+                blank_from = m.start()
+        elif word in ("ifdef", "ifndef"):
+            stack.append(False)
+        elif word in ("else", "elif") and stack:
+            if stack[-1] and blank_from is not None and sum(stack) == 1:
+                # leaving the disabled branch of the OUTERMOST disabled
+                # conditional — the else/elif branch is (potentially) live
+                for j in range(blank_from, m.end()):
+                    if out[j] != "\n":
+                        out[j] = " "
+                blank_from = None
+                stack[-1] = False
+        elif word == "endif" and stack:
+            was = stack.pop()
+            if was and blank_from is not None and not any(stack):
+                for j in range(blank_from, m.end()):
+                    if out[j] != "\n":
+                        out[j] = " "
+                blank_from = None
+    if blank_from is not None:  # unterminated disabled block
+        for j in range(blank_from, len(masked)):
+            if out[j] != "\n":
+                out[j] = " "
+    return "".join(out)
+
 
 def _mask_template_headers(masked: str) -> str:
     """Blank C++ ``template <...>`` headers (balanced-angle walk, so nested
@@ -594,6 +645,106 @@ _JAVA_CTOR_TMPL = (
     r"(?:throws[^{}}]*)?\{"
 )
 
+# ---- javalang-shaped Java signatures ---------------------------------------
+# The reference's javalang extractor emits generics-aware signatures
+# (language_factory.py:1024-1101 _get_method_signature/_get_type_name):
+# ``pkg.Outer.Inner.method(Type1 name1, Type2 name2): ReturnType`` for
+# methods and ``pkg.Outer.Inner(Type name)`` for constructors
+# (language_factory.py:1001), with annotations/modifiers erased, whitespace
+# normalized, and varargs flattened to the element type. Method identity is
+# (name, signature, file_path) (knowledge_graph.py:165-172), so raw-text
+# signature spans would let formatting variants of one overload split and
+# would not match javalang's shape. The normalizers below rebuild that shape
+# from the masked declaration span. Documented divergences: a bounded
+# wildcard (``List<? extends T>``) keeps its bound text (javalang's own path
+# crashes on it); a parameter-level annotation WITH arguments breaks the
+# declaration regex itself (params stop at the first ')').
+
+_JAVA_SIG_ANNOT_RE = _re.compile(r"@[\w.]+(?:\([^)]*\))?\s*")
+_JAVA_SIG_MODIFIER_RE = _re.compile(
+    r"\b(?:public|protected|private|static|final|synchronized|abstract"
+    r"|default|native|strictfp)\b"
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at angle/paren/bracket depth 0."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _normalize_java_type(t: str) -> str:
+    """Whitespace/punctuation canonicalization of a Java type's text:
+    ``Map < String ,List<T> > [ ]`` → ``Map<String, List<T>>[]``. The
+    unbounded wildcard drops (``List<?>`` → ``List``), mirroring the
+    reference's filter of None type-arguments (language_factory.py:1096)."""
+    t = _re.sub(r"\s+", " ", t).strip()
+    t = _re.sub(r"\s*<\s*", "<", t)
+    t = _re.sub(r"\s*>", ">", t)
+    t = _re.sub(r"\s*,\s*", ", ", t)
+    t = _re.sub(r"\s*\[\s*\]", "[]", t)
+    t = t.replace("<?>", "")
+    return t
+
+
+def _java_param_sig(p: str) -> str:
+    """One parameter's ``Type name`` signature fragment (annotations and
+    ``final`` erased, varargs flattened — ``String... a`` ≡ ``String[] a``
+    cannot co-exist as overloads, so flattening loses no identity)."""
+    p = _JAVA_SIG_ANNOT_RE.sub("", p)
+    p = _re.sub(r"\bfinal\b", " ", p)
+    p = p.replace("...", " ")
+    p = _re.sub(r"\s+", " ", p).strip()
+    m = _re.search(r"([A-Za-z_$][\w$]*)\s*((?:\[\s*\])*)$", p)
+    if not m or m.start() == 0:
+        return _normalize_java_type(p)
+    cdims = "[]" * m.group(2).count("[")  # C-style dims go on the type
+    t = _normalize_java_type(p[: m.start()]) + cdims
+    return f"{t} {m.group(1)}".strip()
+
+
+def _java_return_type(head: str) -> str:
+    """Return type from the declaration text before the method name:
+    annotations/modifiers and a generic method's ``<T, R>`` type-parameter
+    section are stripped, the remainder normalized. Empty (all-modifier
+    head) means the declaration has NO return type — i.e. a constructor."""
+    head = _JAVA_SIG_ANNOT_RE.sub("", head)
+    head = _JAVA_SIG_MODIFIER_RE.sub(" ", head)
+    head = _re.sub(r"\s+", " ", head).strip()
+    if head.startswith("<"):
+        depth = 0
+        for i, ch in enumerate(head):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    head = head[i + 1 :]
+                    break
+    return _normalize_java_type(head)
+
+
+def _java_method_signature(qname: str, head: str, params: str) -> str:
+    plist = [_java_param_sig(p) for p in _split_top_level(params) if p.strip()]
+    return f"{qname}({', '.join(plist)}): {_java_return_type(head) or 'void'}"
+
+
+def _java_ctor_signature(class_qname: str, params: str) -> str:
+    plist = [_java_param_sig(p) for p in _split_top_level(params) if p.strip()]
+    return f"{class_qname}({', '.join(plist)})"
+
 
 def _parse_braced_entities(file_path: str, source: str, module: str,
                            class_re, method_re,
@@ -617,6 +768,7 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
     source = source or ""
     masked = _mask_strings_comments(source)
     if namespaces:
+        masked = _mask_disabled_regions(masked)
         masked = _mask_template_headers(masked)
     rows: list[dict] = []
     # (short, start_pos, end_pos, emit_row) — namespaces qualify but don't emit
@@ -702,9 +854,24 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
             )
             qname = ".".join(parts)
         seen.add((s_line, mname))
+        if constructors:  # Java mode: javalang-shaped generics-aware sig
+            head = masked[m.start() : m.start(1)]
+            if (
+                owner is not None
+                and owner.rsplit(".", 1)[-1] == mname
+                and not _java_return_type(head)
+            ):
+                # `public Outer(...) {` also satisfies the method regex
+                # (backtracking reads the modifier as a return type) —
+                # no return type + name == owning class ⇒ constructor shape
+                sig = _java_ctor_signature(owner, m.group(2))
+            else:
+                sig = _java_method_signature(qname, head, m.group(2))
+        else:
+            sig = f"{mname}({m.group(2).strip()})"
         rows.append(dict(file_path=file_path, kind="method", name=qname,
                          short_name=mname,
-                         signature=f"{mname}({m.group(2).strip()})",
+                         signature=sig,
                          start_line=s_line, end_line=e_line,
                          doc_string=_doc_comment_before(source, m.start())))
     if constructors:
@@ -724,7 +891,9 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                 rows.append(dict(
                     file_path=file_path, kind="method", name=f"{cq}.{cshort}",
                     short_name=cshort,
-                    signature=f"{cshort}({m.group(1).strip()})",
+                    # language_factory.py:1001 — class-qualified prefix +
+                    # typed params, no return type
+                    signature=_java_ctor_signature(cq, m.group(1)),
                     start_line=s_line, end_line=e_line,
                     doc_string=_doc_comment_before(source, m.start()),
                 ))
@@ -752,10 +921,16 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
             if (s_line, mname) in seen:
                 continue
             seen.add((s_line, mname))
+            if constructors:  # Java bodyless (interface/abstract) methods
+                sig = _java_method_signature(
+                    f"{owner}.{mname}", masked[m.start() : m.start(1)], m.group(2)
+                )
+            else:
+                sig = f"{mname}({m.group(2).strip()})"
             rows.append(dict(
                 file_path=file_path, kind="method", name=f"{owner}.{mname}",
                 short_name=mname,
-                signature=f"{mname}({m.group(2).strip()})",
+                signature=sig,
                 start_line=s_line, end_line=_line_of(source, m.end() - 1),
                 doc_string=_doc_comment_before(source, m.start()),
             ))

@@ -126,7 +126,9 @@ def test_parse_java_entities():
     assert rows["com.example.engine.Scheduler"]["kind"] == "class"
     assert rows["com.example.engine.Runner"]["kind"] == "class"
     m = rows["com.example.engine.Scheduler.runCycle"]
-    assert m["kind"] == "method" and m["signature"] == "runCycle(int ticks)"
+    assert m["kind"] == "method"
+    # javalang-shaped: qualified prefix + typed params + return type
+    assert m["signature"] == "com.example.engine.Scheduler.runCycle(int ticks): void"
     assert m["start_line"] == 4 and m["end_line"] == 6
     # the for-loop header must NOT become a method
     assert not any(r["short_name"] == "for" for r in rows.values())
@@ -208,9 +210,11 @@ def test_java_nested_types_constructors_javadoc():
     inner = rows["com.acme.app.Outer.Inner"]
     assert inner["kind"] == "class" and inner["doc_string"] == "Inner helper."
     ctor = rows["com.acme.app.Outer.Outer"]
-    assert ctor["kind"] == "method" and ctor["signature"] == "Outer(int size)"
+    assert ctor["kind"] == "method"
+    # ctor signature = class-qualified prefix + typed params, no return type
+    assert ctor["signature"] == "com.acme.app.Outer(int size)"
     assert ctor["doc_string"] == "Builds an Outer."
-    assert rows["com.acme.app.Outer.Inner.Inner"]["signature"] == "Inner()"
+    assert rows["com.acme.app.Outer.Inner.Inner"]["signature"] == "com.acme.app.Outer.Inner()"
     assert rows["com.acme.app.Outer.Inner.run"]["kind"] == "method"
     assert "com.acme.app.Outer.close" in rows
     assert rows["com.acme.app.Flat.depth"]["kind"] == "method"
@@ -379,7 +383,10 @@ def test_java_annotations_and_generics():
     rows = {r["short_name"]: r for r in parse_java_entities("com/ex/Box.java", src)}
     assert rows["Box"]["kind"] == "class"          # same-line @Entity
     assert rows["toText"]["name"] == "com.ex.Box.toText"   # same-line @Override
-    assert rows["filterAll"]["signature"] == "filterAll(List<T> items, Map<String, T> idx)"
+    assert (
+        rows["filterAll"]["signature"]
+        == "com.ex.Box.filterAll(List<T> items, Map<String, T> idx): List<T>"
+    )
     assert "index" in rows
 
 
@@ -408,7 +415,7 @@ def test_java_bodyless_interface_and_abstract_methods():
         "}\n"
     )
     rows = {r["name"]: r for r in parse_java_entities("p/Mapper.java", src)}
-    assert rows["p.Mapper.apply"]["signature"] == "apply(T input)"
+    assert rows["p.Mapper.apply"]["signature"] == "p.Mapper.apply(T input): R"
     assert rows["p.Mapper.apply"]["start_line"] == 4
     assert rows["p.Mapper.apply"]["end_line"] == 4
     assert rows["p.Mapper.apply"]["doc_string"] == "Transforms one value."
@@ -497,3 +504,99 @@ def test_cpp_global_variables():
     globals_found = {n for n, k in rows.items() if k == "global_var"}
     assert globals_found == {"kMaxRetries", "g_ready", "counters", "top_level"}
     assert "local_v" not in rows and "field_" not in rows
+
+
+def test_java_overloads_get_distinct_generic_signatures():
+    """Method identity is (name, signature, file_path) (reference
+    knowledge_graph.py:165-172). Overloads of a generic method must yield
+    DISTINCT javalang-shaped signatures, while annotation/whitespace
+    formatting variants of the same declaration must NOT split identity."""
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = (
+        "package p;\n"
+        "public class Repo {\n"
+        "    public List<String> find(List<String> keys) { return keys; }\n"
+        "    public List<String> find(Map<String, Integer> idx) { return null; }\n"
+        "    public List<String> find(List<String> keys, int limit) { return keys; }\n"
+        "    public void store(String... parts) { }\n"
+        "    public void store(int n) { }\n"
+        "}\n"
+    )
+    rows = [r for r in parse_java_entities("p/Repo.java", src) if r["kind"] == "method"]
+    sigs = {r["signature"] for r in rows}
+    assert len(sigs) == len(rows) == 5
+    assert "p.Repo.find(List<String> keys): List<String>" in sigs
+    assert "p.Repo.find(Map<String, Integer> idx): List<String>" in sigs
+    assert "p.Repo.find(List<String> keys, int limit): List<String>" in sigs
+    # varargs flatten to the element type (javalang ignores the ellipsis)
+    assert "p.Repo.store(String parts): void" in sigs
+
+    # the same declaration under different formatting/annotations/modifier
+    # order produces the IDENTICAL signature — no identity split
+    variant = (
+        "package p;\n"
+        "public class Repo {\n"
+        "    @Override public  List<String>   find( final List<String>  keys ) {\n"
+        "        return keys;\n"
+        "    }\n"
+        "}\n"
+    )
+    vrows = [r for r in parse_java_entities("p/Repo.java", variant) if r["kind"] == "method"]
+    assert vrows[0]["signature"] == "p.Repo.find(List<String> keys): List<String>"
+
+    # generic method type-parameter section is not part of the return type
+    gen = (
+        "package p;\n"
+        "public class U {\n"
+        "    public static <T extends Number> T pick(List<T> xs, T dflt) { return dflt; }\n"
+        "}\n"
+    )
+    grows = [r for r in parse_java_entities("p/U.java", gen) if r["kind"] == "method"]
+    assert grows[0]["signature"] == "p.U.pick(List<T> xs, T dflt): T"
+
+
+def test_cpp_if0_disabled_regions_not_extracted():
+    """libclang sees post-preprocessor code (language_factory.py:616-801),
+    so declarations inside `#if 0` regions must not become entities, an
+    unbalanced `}` inside one must not corrupt later spans, and the live
+    `#else` branch of a disabled conditional must still extract."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        "#include <vector>\n"
+        "#if 0\n"
+        "class DeadClass {\n"
+        "    void deadMethod(int x) { }\n"
+        "};\n"
+        "}  // unbalanced brace inside disabled code\n"
+        "#endif\n"
+        "class Live {\n"
+        "public:\n"
+        "    void run(int n) { work(n); }\n"
+        "};\n"
+        "#if false\n"
+        "void alsoDead() { }\n"
+        "#else\n"
+        "void elseLives() { }\n"
+        "#endif\n"
+        "#if 0\n"
+        "#if 1\n"
+        "void nestedDead() { }\n"
+        "#endif\n"
+        "#endif\n"
+        "void tail() { }\n"
+    )
+    rows = {r["short_name"]: r for r in parse_cpp_entities("src/live.cpp", src)}
+    assert "DeadClass" not in rows
+    assert "deadMethod" not in rows
+    assert "alsoDead" not in rows
+    assert "nestedDead" not in rows
+    assert rows["Live"]["kind"] == "class"
+    assert rows["run"]["name"].endswith("Live.run")
+    assert "elseLives" in rows
+    assert "tail" in rows  # span recovery after the unbalanced brace
+    # feature-flag conditionals are NOT evaluated — both branches extract
+    flagged = "#ifdef FEATURE_X\nvoid withFlag() { }\n#endif\n"
+    frows = {r["short_name"] for r in parse_cpp_entities("src/f.cpp", flagged)}
+    assert "withFlag" in frows
