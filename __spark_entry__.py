@@ -1218,6 +1218,103 @@ def _kg_from_sources(spark, sf_dir):
     )
 
 
+def _kg_core_links(spark, sf_dir):
+    """The pipeline's HEART on a UDF-free slice, hash-checked: pages with
+    pre-extracted text → the real M1/M2/M4 regex battery
+    (``mentions_dataframe``) → the real fused dictionary join
+    (``link_dictionary_mentions``) + the real J8 issue-ref join
+    (``link_issue_refs``) → weighted links.
+
+    Deterministic corpus from supplier×nation: page ``page/{sk}`` mentions
+    its nation's file path (F slot, STRONG 0.25), its own method both as a
+    dotted qualified name (Q slot, NORMAL 0.5) and a bare call (C slot —
+    same link row, absorbed by the distinct), a ``helper{nk}()`` call whose
+    short name is SHARED by a class and a decoy method (the C-slot
+    min-struct winner rule picks the class), and ``#ref`` (ref = 3·sk mod
+    100) to another page, kept only when that page exists, is not itself,
+    and was crawled at or before the citing page (J8 leakage guard). Every
+    piece is closed-form, so DuckDB replays the expected links exactly."""
+    from kgcompass_spark.functions.mentions import mentions_dataframe
+    from kgcompass_spark.operators.linking import (
+        link_dictionary_mentions,
+        link_issue_refs,
+    )
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sk = F.col("s_suppkey").cast("string")
+    snk = F.col("s_nationkey").cast("string")
+    nk = F.col("n_nationkey").cast("string")
+    ref = (F.col("s_suppkey") * 3 % 100).cast("string")
+    base_ts = F.to_timestamp(F.lit("2023-01-01 00:00:00"))
+    pages = s.select(
+        F.concat(F.lit("page/"), sk).alias("url"),
+        (base_ts + F.make_interval(mins=F.col("s_suppkey").cast("int"))).alias(
+            "warc_ts"
+        ),
+        F.concat(
+            F.lit("Error in src/n"), snk, F.lit(".py calling proc_"), sk,
+            F.lit("() or helper"), snk, F.lit("() and mod"), snk,
+            F.lit(".proc_"), sk, F.lit(" see #"), ref,
+        ).alias("clean_text"),
+        sk.alias("doc_key"),
+    )
+    entities = (
+        n.select(
+            F.concat(F.lit("file:n"), nk).alias("entity_id"),
+            F.lit("file").alias("kind"),
+            F.concat(F.lit("src/n"), nk, F.lit(".py")).alias("file_path"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("short_name"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("method:s"), sk).alias("entity_id"),
+                F.lit("method").alias("kind"),
+                F.concat(F.lit("src/n"), snk, F.lit(".py")).alias("file_path"),
+                F.concat(F.lit("mod"), snk, F.lit(".proc_"), sk).alias("name"),
+                F.concat(F.lit("proc_"), sk).alias("short_name"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("class:c"), nk).alias("entity_id"),
+                F.lit("class").alias("kind"),
+                F.concat(F.lit("src/n"), nk, F.lit(".py")).alias("file_path"),
+                F.concat(F.lit("Helper"), nk, F.lit("Cls")).alias("name"),
+                F.concat(F.lit("helper"), nk).alias("short_name"),
+            )
+        )
+        .unionByName(
+            # decoy method sharing the class's short name: the C-slot
+            # winner is min (entity_id, kind) — 'class:cN' < 'method:xN'
+            n.select(
+                F.concat(F.lit("method:x"), nk).alias("entity_id"),
+                F.lit("method").alias("kind"),
+                F.concat(F.lit("src/n"), nk, F.lit(".py")).alias("file_path"),
+                F.concat(F.lit("zz"), nk).alias("name"),
+                F.concat(F.lit("helper"), nk).alias("short_name"),
+            )
+        )
+    )
+    mentions = (
+        mentions_dataframe(pages.select("url", "warc_ts", "clean_text"))
+        .select("url", "warc_ts", F.explode("mentions").alias("m"))
+        .select("url", "warc_ts", F.col("m.mtype").alias("mtype"),
+                F.col("m.text").alias("text"))
+    )
+    dict_links = link_dictionary_mentions(mentions, entities)
+    issue_links = link_issue_refs(
+        mentions, pages.select("url", "warc_ts", "doc_key")
+    )
+    return (
+        dict_links.unionByName(issue_links)
+        .select("url", "entity_id", "kind", "weight")
+        .distinct()
+        .orderBy("url", "entity_id", "kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-checked
@@ -1256,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_documents_fixture": _result_documents_fixture,
         "lsh_alias_link": _lsh_alias_link,
         "lsh_canonical_map": _lsh_canonical_map,
+        "kg_core_links": _kg_core_links,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -2420,6 +2518,45 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _build_minhash_oracle(),
         "lsh_alias_link": _build_lsh_alias_oracle(),
         "lsh_canonical_map": _build_lsh_canon_oracle(),
+        # closed-form replay of _kg_core_links: the fixture text is built
+        # by construction, so the mention battery's output per page is
+        # known exactly — F-slot file link, Q-slot qualified-name link,
+        # C-slot call link (same target as Q, absorbed by DISTINCT),
+        # C-slot shared-short-name link where min(entity_id, kind) picks
+        # the class over the decoy method, and the J8 ref link with the
+        # existence/self/leakage guards spelled out
+        "kg_core_links": """
+            WITH sup AS (
+              SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier
+            ),
+            links AS (
+              SELECT 'page/' || sk::VARCHAR AS url,
+                     'file:n' || nk::VARCHAR AS entity_id,
+                     'file' AS kind, CAST(0.25 AS DOUBLE) AS weight
+              FROM sup
+              UNION ALL
+              SELECT 'page/' || sk::VARCHAR,
+                     'method:s' || sk::VARCHAR,
+                     'method', CAST(0.5 AS DOUBLE)
+              FROM sup
+              UNION ALL
+              SELECT 'page/' || sk::VARCHAR,
+                     'class:c' || nk::VARCHAR,
+                     'class', CAST(0.5 AS DOUBLE)
+              FROM sup
+              UNION ALL
+              SELECT 'page/' || sk::VARCHAR,
+                     'issue:page/' || ((sk * 3) % 100)::VARCHAR,
+                     'issue', CAST(0.5 AS DOUBLE)
+              FROM sup
+              WHERE ((sk * 3) % 100) IN (SELECT sk FROM sup)
+                AND ((sk * 3) % 100) <= sk
+                AND ((sk * 3) % 100) <> sk
+            )
+            SELECT DISTINCT url, entity_id, kind, weight
+            FROM links
+            ORDER BY url, entity_id, kind
+        """,
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),
         "lsh_cosine_topk": _build_lsh_topk_oracle(),
