@@ -1,16 +1,24 @@
 """Multimodal column handling — image/audio/video as opaque binary columns
-with typed metadata (per the build brief: decode libs are not in this
-container, so the DECODE step is a deterministic stub; the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is real
-and tested).
+with typed metadata.
+
+PNG is decoded FOR REAL (stdlib struct + zlib: chunk walk, IHDR dims,
+IDAT inflate, full scanline unfiltering incl. Paeth) — no external decode
+libs needed. Other formats fall back to a deterministic stub (those libs
+aren't in this container); the Spark-side plumbing — schema, partitioning,
+UDF signature, Arrow batch shape — is identical either way, so a real
+JPEG/audio/video decoder (PIL/ffmpeg/torchaudio) drops in by extending
+``_decode`` only. At scale the pure-Python per-pixel unfilter loop is the
+part a vectorized decoder replaces; the mapInPandas batching around it
+does not change.
 
 Pattern: media rows are (id, modality, media binary, meta struct). All
-per-byte work happens in ``mapInPandas`` over Arrow batches so a real
-decoder (PIL/ffmpeg/torchaudio) drops in by replacing ``_decode_stub`` only.
+per-byte work happens in ``mapInPandas`` over Arrow batches.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,6 +60,114 @@ def _decode_stub(payload: bytes | None, modality: str) -> list[float]:
     ]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def png_encode(width: int, height: int, rgb_rows: list[bytes]) -> bytes:
+    """Minimal 8-bit RGB PNG writer (filter 0 scanlines) for tests and
+    ``synth_png_media`` — stdlib only, valid per the PNG spec incl. CRCs."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + row for row in rgb_rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> list[float]:
+    """REAL PNG decode, stdlib only: walk chunks, read IHDR dims, inflate
+    the IDAT stream, undo scanline filters 0-4 (None/Sub/Up/Average/Paeth),
+    then compute pixel statistics. 8-bit non-interlaced images (any of the
+    four non-palette color types). Malformed/truncated/unsupported input
+    raises ValueError — the poison-pill path."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, width, height, color_type, idat = 8, None, None, None, b""
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        if typ == b"IHDR":
+            width, height, depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) < height * (stride + 1):
+        raise ValueError("short pixel data")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 255
+        elif f != 0:
+            raise ValueError("bad filter byte")
+        out += line
+        prev = line
+    n = len(out)
+    mean = sum(out) / n
+    var = sum((x - mean) ** 2 for x in out) / n
+    return [
+        float(width),
+        float(height),
+        float(channels),
+        round(float(mean), 4),
+        round(float(var**0.5), 4),
+        float(min(out)),
+        float(max(out)),
+        1.0,
+    ]
+
+
+def _decode(payload: bytes, modality: str) -> list[float]:
+    """Dispatch: real PNG decode when the magic matches, deterministic
+    stub otherwise."""
+    if payload[:8] == _PNG_MAGIC:
+        return _png_decode(payload)
+    return _decode_stub(payload, modality)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Feature extraction over media binaries via mapInPandas.
 
@@ -68,9 +184,11 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 sizes.append(len(raw))
                 try:
-                    feats.append(_decode_stub(raw, modality))
+                    feats.append(_decode(raw, modality))
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, zlib.error):
+                    # poison pill: a malformed byte-string yields a
+                    # decode_ok=False row, never a failed task
                     feats.append([])
                     oks.append(False)
             yield pd.DataFrame(
@@ -122,4 +240,28 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             else (None, None, None, 30 + i)
         )
         rows.append((f"m{i:04d}", modality, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_png_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic table of REAL (decodable) PNG images: pixel gradient
+    keyed by (row, col, index), encoded by ``png_encode``."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        rgb = [
+            bytes(
+                (x * 37 + y * 11 + i + c * 5) % 256
+                for x in range(w)
+                for c in range(3)
+            )
+            for y in range(h)
+        ]
+        payload = png_encode(w, h, rgb)
+        if i % 5 == 4:
+            # every fifth image is corrupt → poison-pill row; cut mid-IDAT
+            # header (magic 8 + IHDR chunk 25 + 4) so no valid prefix
+            # survives regardless of chunk layout
+            payload = payload[:37]
+        rows.append((f"png{i:04d}", "image", payload, (w, h, None, None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
