@@ -111,6 +111,68 @@ def main() -> None:
         full_sec = dt if full_sec is None or dt < full_sec else full_sec
     timings["kg_full_pipeline"] = round(full_sec, 3)
 
+    # --- bucketed-table read-back vs plain parquet ------------------------
+    # The sources/bucketed.py contract (joins/aggs on the bucket key read
+    # back with ZERO exchanges) carried only a plan assertion until now;
+    # this times it on the real bench-scale KG (~2.4M triples at 48k pages).
+    # Broadcast is disabled for BOTH variants: at 100 TB the node table is
+    # not broadcastable, so the honest comparison is SMJ-with-shuffle vs
+    # bucketed SMJ-without — exactly the decision a cluster planner faces.
+    from kgcompass_spark.sources.bucketed import materialize_graph_tables
+
+    kg_out = build_kg(pages, entities, cutoff=None, persist=True)
+    bkt_base = os.path.join(tempfile.gettempdir(), f"bench_bkt_{N_PAGES}")
+    bt = materialize_graph_tables(
+        spark, kg_out["triples"], bkt_base, prefix="bench_kg"
+    )  # one-time materialization, untimed (amortized across reads at scale)
+    plain_edges_path = os.path.join(bkt_base, "edges_plain")
+    plain_nodes_path = os.path.join(bkt_base, "nodes_plain")
+    bt["edges"].write.mode("overwrite").parquet(plain_edges_path)
+    bt["nodes"].write.mode("overwrite").parquet(plain_nodes_path)
+    kg_out["prepared"].unpersist()
+    kg_out["mentions"].unpersist()
+    kg_out["triples"].unpersist()
+
+    def graph_join(edges, nodes):
+        # node-enrichment + degree-weighted rollup keyed on the entity —
+        # the shape of every edges⋈nodes pass in the KG pipeline
+        return (
+            edges.join(nodes, edges.subj == nodes.node)
+            .filter(F.col("node_type") != "issue")
+            .groupBy("subj")
+            .agg(F.sum("weight").alias("w_total"), F.max("out_degree").alias("deg"))
+        )
+
+    exchange_counts = {}
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for variant, (e_df, n_df) in {
+            "graph_join_bucketed": (bt["edges"], bt["nodes"]),
+            "graph_join_plain": (
+                spark.read.parquet(plain_edges_path),
+                spark.read.parquet(plain_nodes_path),
+            ),
+        }.items():
+            q = graph_join(e_df, n_df)
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            exchange_counts[variant] = sum(
+                1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+            )
+            q.count()  # warm-up
+            best = None
+            reps[variant] = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.count()
+                dt = time.perf_counter() - t0
+                reps[variant].append(round(dt, 3))
+                best = dt if best is None or dt < best else best
+            timings[variant] = round(best, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+
     # --- operator benches over driver testdata ----------------------------
     qs = entrymod.queries()
     bench_queries = [
@@ -172,6 +234,7 @@ def main() -> None:
         "cpus": CPUS,
         "n_pages": n_pages_actual,
         "n_triples": triple_count.get("n", 0),
+        "graph_join_exchanges": exchange_counts,
         "triples_per_sec": round(triple_count.get("n", 0) / kg_sec, 1) if kg_sec else 0,
         "pages_per_sec": round(n_pages_actual / kg_sec, 1) if kg_sec else 0,
     }
