@@ -28,6 +28,27 @@ from ..config import MINHASH_BANDS, MINHASH_NUM_HASHES
 _MERSENNE = (1 << 61) - 1
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a low-partition input up to the session's
+    default parallelism before per-row-heavy shingle/token work.
+
+    Parquet splitting cannot divide a row group, so a small file scans as
+    ONE partition and every higher-order-function pass over it runs on a
+    single core (measured: the sf0.1 documents table reads as 1 partition
+    and the shingle stage alone took 5.6 s; at 32 partitions it takes
+    0.8 s). At scale the input has far more partitions than cores and this
+    is a no-op — the guard only fires when partitions < parallelism, where
+    the extra exchange moves a trivially small input once.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(text_col):
     return F.filter(
         F.split(F.lower(text_col), r"\s+"), lambda t: F.length(t) > 0
@@ -97,6 +118,7 @@ def minhash_signatures(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
+    docs = _ensure_parallelism(docs)
     # One shingle pass: explode → 32 min-aggregates. The hash-agg gets
     # map-side partial aggregation for free, so the shuffle carries one
     # 32-long signature row per (partition, doc) — NOT per shingle. An
@@ -258,7 +280,7 @@ def ngram_jaccard(
     """Exact Jaccard on shingle sets for candidate ``pairs(doc_a, doc_b)``.
     Two broadcast-joins of the (small) candidate list against the shingle
     arrays, then a set-intersection expression."""
-    sh = docs.select(
+    sh = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -293,6 +315,10 @@ def simhash(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
+    # No _ensure_parallelism here: per-token work (one hash) is light, and
+    # an interleaved A/B at sf0.1 showed the guard's extra exchange costs
+    # more than the single-core map time it buys (2.46 s vs 2.01 s) — the
+    # guard pays only where per-row compute is heavy (shingle assembly).
     # Explode tokens once, then `bits` per-bit vote aggregates (sum of ±1);
     # map-side partial agg keeps the shuffle at one row per (partition, doc).
     exploded = docs.select(
