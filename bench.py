@@ -68,11 +68,14 @@ def main() -> None:
         out["mentions"].unpersist()
 
     kg_run()                       # warm-up: JIT + codegen + python workers
-    # best-of-3 (cache cleared each time): single runs on this VM vary ~3×
-    # from GC/IO noise; the minimum is the reproducible number
+    # best-of-4 (cache cleared each time): single runs on this VM vary ~3×
+    # from GC/IO noise, and rep sequences decrease monotonically (C2
+    # compilation keeps promoting generated code across reps — ~1.5k
+    # rows/task stays under the invocation threshold per rep); the minimum
+    # is the reproducible number
     kg_sec = None
     reps["kg_pipeline"] = []
-    for _ in range(3):
+    for _ in range(4):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         kg_run()
@@ -96,13 +99,14 @@ def main() -> None:
         out["mentions"].unpersist()
 
     kg_full_run()  # warm-up
-    # best-of-3 (vs 2): hypervisor steal on this VM inflates individual
+    # best-of-4 (vs 2): hypervisor steal on this VM inflates individual
     # runs by up to 2× (measured 29.3 vs 13.9 s for the SAME plan in one
-    # process, round 4) — a third rep materially raises the odds of
-    # catching a quiet window for the headline number
+    # process, round 4), and round-5 rep sequences were still decreasing
+    # at rep 3 (progressive C2 compilation) — extra reps materially raise
+    # the odds of catching the floor for the headline number
     full_sec = None
     reps["kg_full_pipeline"] = []
-    for _ in range(3):
+    for _ in range(4):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         kg_full_run()
