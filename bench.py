@@ -51,7 +51,14 @@ def main() -> None:
     # --- headline: the KG construction pipeline on synthetic pages --------
     import tempfile
 
-    _, entities, _, _ = corpus_dataframes(spark, n_pages=1)
+    # entities also read back from parquet (same Python-RDD argument as the
+    # commit/doc artifacts below — the alias dictionary feeds several
+    # broadcast builds; interleaved A/B: kg_full 10.99 s vs 12.45 s best-of-3)
+    _, entities_gen, _, _ = corpus_dataframes(spark, n_pages=1)
+    entities_path = os.path.join(tempfile.gettempdir(), "bench_entities.parquet")
+    if not os.path.exists(entities_path):
+        entities_gen.write.parquet(entities_path)
+    entities = spark.read.parquet(entities_path)
     pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_{N_PAGES}.parquet")
     if not os.path.exists(pages_path):
         # generation excluded from timing; reused across bench runs
@@ -88,8 +95,21 @@ def main() -> None:
     from kgcompass_spark.sources.datagen import _mk_commits, _mk_docs
     from kgcompass_spark.sources.datagen import COMMITS_SCHEMA, DOCS_SCHEMA
 
-    commits_df = spark.createDataFrame(_mk_commits(48), schema=COMMITS_SCHEMA)
-    docs_df = spark.createDataFrame(_mk_docs(), schema=DOCS_SCHEMA)
+    # artifacts read from parquet, not createDataFrame: a Python-RDD-backed
+    # input re-runs a Python worker job for EVERY context-branch broadcast
+    # rebuild (eligible-commit filters, span explode, doc scoring), which a
+    # real pipeline — whose artifacts live in storage — never pays.
+    # Interleaved A/B at 48k pages: 14.84 s parquet vs 15.64 s RDD best-of-3.
+    commits_path = os.path.join(tempfile.gettempdir(), "bench_commits_48.parquet")
+    docs_path = os.path.join(tempfile.gettempdir(), "bench_docs.parquet")
+    if not os.path.exists(commits_path):
+        spark.createDataFrame(_mk_commits(48), schema=COMMITS_SCHEMA).write.parquet(
+            commits_path
+        )
+    if not os.path.exists(docs_path):
+        spark.createDataFrame(_mk_docs(), schema=DOCS_SCHEMA).write.parquet(docs_path)
+    commits_df = spark.read.parquet(commits_path)
+    docs_df = spark.read.parquet(docs_path)
 
     def kg_full_run():
         out = build_kg(pages, entities, cutoff=None, persist=True,
