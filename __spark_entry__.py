@@ -668,6 +668,23 @@ def _minhash_near_dups(spark, sf_dir):
     )
 
 
+def _contamination_docs(spark, sf_dir):
+    """Benchmark decontamination sweep (operators/dedup.py
+    contamination_check): documents vs a benchmark slice of the same
+    corpus (doc_id % 20 == 0) — every train doc sharing at least one
+    verbatim word 8-gram with a benchmark doc, with the distinct shared
+    gram count. The oracle replays the shingle construction and the
+    gram join closed-form in DuckDB."""
+    from kgcompass_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(train, bench)
+
+
 def _simhash_docs(spark, sf_dir):
     from kgcompass_spark.functions.hashing import md5_60
     from kgcompass_spark.operators.dedup import simhash
@@ -1354,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_alias_link": _lsh_alias_link,
         "lsh_canonical_map": _lsh_canonical_map,
         "kg_core_links": _kg_core_links,
+        "contamination_docs": _contamination_docs,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -2556,6 +2574,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT url, entity_id, kind, weight
             FROM links
             ORDER BY url, entity_id, kind
+        """,
+        # decontamination: same shingle construction as the minhash oracle
+        # (8-gram window; < 8 tokens degenerates to the whole text), split
+        # into benchmark (doc_id % 20 = 0) and train sides, joined on the
+        # verbatim gram — n_hits = |distinct shared grams| per pair
+        "contamination_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                     ELSE [array_to_string(tk[i+1:i+8], ' ')
+                           for i in generate_series(0, len(tk) - 8)]
+                END AS shingles
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh
+            ),
+            bench AS (
+              SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 20 = 0
+            ),
+            train AS (
+              SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0
+            )
+            SELECT t.doc_id AS doc_id, b.bench_id AS bench_id,
+                   count(*) AS n_hits
+            FROM train t JOIN bench b USING (gram)
+            GROUP BY t.doc_id, b.bench_id
+            ORDER BY doc_id, bench_id
         """,
         "simhash_docs": _build_simhash_oracle(),
         "fingerprint_docs": _build_fingerprint_oracle(),

@@ -296,6 +296,46 @@ def ngram_jaccard(
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Training-corpus decontamination: flag documents that share any
+    verbatim word ``n``-gram with a benchmark/eval document — the n-gram
+    overlap rule LLM training pipelines apply before training (GPT-3
+    appendix-C style). Returns ``(doc_id, bench_id, n_hits)`` where
+    ``n_hits`` = |distinct shared n-grams| for that pair; callers drop or
+    redact documents with any hit.
+
+    Scale: the benchmark side (eval suites) is tiny next to a 100-TB
+    corpus — its distinct grams broadcast; the corpus side streams through
+    ONE shingle explode + broadcast hash join, then a map-side-combined
+    count keyed on (doc, bench). The corpus text itself is never shuffled.
+    Texts shorter than ``n`` tokens contribute their whole text as the
+    single gram (same degenerate-shingle rule as :func:`shingles`).
+    """
+    doc_grams = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(F.col(bench_text_col), n))).alias("gram"),
+    )
+    # both sides are per-document DISTINCT gram sets, so count(*) per
+    # (doc, bench) is exactly the intersection size
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -47,6 +47,43 @@ def test_ngram_jaccard_scores(spark, docs):
     assert out[(0, 3)] == 0.0
 
 
+def test_contamination_check_flags_verbatim_ngrams(spark):
+    from kgcompass_spark.operators.dedup import contamination_check
+
+    bench_text = "what is the capital of france the answer is paris exactly"
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark question verbatim inside other prose
+            (10, "intro text what is the capital of france the answer is paris exactly trailing words"),
+            # paraphrase: no verbatim 8-gram survives
+            (11, "the capital city of france is named paris as everyone knows"),
+            (12, "unrelated document about spark shuffle partitions and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "bench_id long, text string")
+    out = {r["doc_id"]: r["n_hits"] for r in contamination_check(train, bench).collect()}
+    # doc 10 contains all 4 sliding 8-grams of the 11-token benchmark text
+    assert out == {10: 4}
+
+
+def test_contamination_check_short_text_whole_gram(spark):
+    from kgcompass_spark.operators.dedup import contamination_check
+
+    # benchmark shorter than n tokens → its whole text is the single gram;
+    # only the doc sharing an identical full window (here: the exact short
+    # string as its own whole-text gram) matches
+    bench = spark.createDataFrame([(0, "exact short answer")], "bench_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "exact short answer"), (2, "prefix exact short answer suffix")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in contamination_check(train, bench).collect()}
+    # doc 1 (also < n tokens) degenerates to the same whole-text gram;
+    # doc 2 (5 tokens) degenerates to ITS whole text, which differs
+    assert out == {1: 1}
+
+
 def test_simhash_near_dup_hamming(docs):
     sigs = simhash(docs)
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_candidates(sigs).collect()}
