@@ -47,6 +47,21 @@ def test_ngram_jaccard_scores(spark, docs):
     assert out[(0, 3)] == 0.0
 
 
+def test_ensure_parallelism_guard_contract(spark):
+    """The shingle-stage repartition guard fires ONLY on under-partitioned
+    input (the single-row-group parquet case) and is an identity — no added
+    exchange — once partitions reach default parallelism."""
+    from kgcompass_spark.operators import dedup
+
+    target = spark.sparkContext.defaultParallelism
+    well = spark.range(1000).repartition(target)
+    assert dedup._ensure_parallelism(well) is well
+    narrow = spark.range(1000).coalesce(1)
+    out = dedup._ensure_parallelism(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+
+
 def test_contamination_check_flags_verbatim_ngrams(spark):
     from kgcompass_spark.operators.dedup import contamination_check
 
