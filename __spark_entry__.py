@@ -668,6 +668,30 @@ def _minhash_near_dups(spark, sf_dir):
     )
 
 
+def _domain_cap_docs(spark, sf_dir):
+    """Per-source document cap (operators/curation.py domain_cap): keep
+    the top 20 documents per source by (n_chars desc, doc_id asc) via the
+    exact two-phase skew-safe selection; oracle = the plain QUALIFY
+    window over the same key."""
+    from kgcompass_spark.operators.curation import domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.struct((-F.col("n_chars")).alias("q"), F.col("doc_id").alias("id"))
+    return domain_cap(d, 20, key).select("doc_id", "source", "n_chars")
+
+
+def _hash_sample_docs(spark, sf_dir):
+    """Deterministic 10% id-hash sample (operators/curation.py
+    hash_sample) under the md5_60 oracle hash with salt 's42'."""
+    from kgcompass_spark.functions.hashing import md5_60
+    from kgcompass_spark.operators.curation import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.10, salt="s42", hash_fn=md5_60).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _contamination_docs(spark, sf_dir):
     """Benchmark decontamination sweep (operators/dedup.py
     contamination_check): documents vs a benchmark slice of the same
@@ -1372,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_canonical_map": _lsh_canonical_map,
         "kg_core_links": _kg_core_links,
         "contamination_docs": _contamination_docs,
+        "domain_cap_docs": _domain_cap_docs,
+        "hash_sample_docs": _hash_sample_docs,
         # rows-only
         "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
@@ -2574,6 +2600,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT url, entity_id, kind, weight
             FROM links
             ORDER BY url, entity_id, kind
+        """,
+        # per-source cap: the two-phase skew-safe selection must equal the
+        # plain window over the same unique key
+        "domain_cap_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ) <= 20
+            ORDER BY source, doc_id
+        """,
+        # deterministic id-hash sample, md5_60 parameterization (md5_60 is
+        # non-negative, so % equals Spark's pmod)
+        "hash_sample_docs": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_h60("doc_id::VARCHAR || ':s42'")} % 1000000 < 100000
+            ORDER BY doc_id
         """,
         # decontamination: same shingle construction as the minhash oracle
         # (8-gram window; < 8 tokens degenerates to the whole text), split

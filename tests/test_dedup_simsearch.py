@@ -202,3 +202,43 @@ def test_brute_force_pre_topk_matches_window(spark, vectors):
     full = brute_force_topk(vectors.coalesce(1), q, k=3)
     want = {(r["vec_id"], r["rank"]) for r in full.collect()}
     assert got == want
+
+
+def test_domain_cap_two_phase_equals_plain_window(spark):
+    """The skew-safe two-phase selection must equal the naive per-domain
+    window for every k, including a mega-domain spread over many input
+    partitions."""
+    from pyspark.sql import Window
+
+    from kgcompass_spark.operators.curation import domain_cap
+
+    rows = [(i, "spam.example" if i < 900 else f"site{i % 7}.example", (i * 37) % 101)
+            for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).repartition(16)
+    key = F.struct((-F.col("n_chars")).alias("q"), F.col("doc_id").alias("id"))
+    for k in (1, 3, 20):
+        got = {r["doc_id"] for r in domain_cap(docs, k, key).collect()}
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        want = {
+            r["doc_id"]
+            for r in docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .collect()
+        }
+        assert got == want, k
+        # cap actually binds on the mega-domain
+        assert sum(1 for d in got if d < 900) == k
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from kgcompass_spark.operators.curation import hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs.repartition(13), 0.2, salt="s1").collect()}
+    c = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="s2").collect()}
+    assert a == b                      # layout never changes the draw
+    assert a != c                      # the salt does
+    assert 0.15 < len(a) / 2000 < 0.25
