@@ -331,7 +331,9 @@ def _g8_connected_components(spark, sf_dir):
     # component id agrees with the numeric min the oracle computes.
     pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
     edges = chain.select(pad(F.col("src")).alias("src"), pad(F.col("dst")).alias("dst"))
-    cc = connected_components(edges)
+    # chain edges are distinct by construction (one lag edge per consecutive
+    # order pair), so the op can skip its dedup shuffle
+    cc = connected_components(edges, dedup_edges=False)
     # singletons (customers with one order) are their own component
     all_nodes = o.select(pad(F.col("o_orderkey")).alias("node"))
     full = (

@@ -421,40 +421,73 @@ def seeded_support(
     )
 
 
+#: Broadcast the per-round lookup tables only while the materialized
+#: symmetric edge list is at most this many rows (~2M edges ≈ tens of MB of
+#: 12-char ids — comfortably under the 64 MB broadcast threshold). Above it
+#: the identical plan runs with plain joins and AQE picks the strategy; the
+#: equivalence test forces the gate to 0 and pins identical output.
+_CC_BROADCAST_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    broadcast_max_edges: int = _CC_BROADCAST_MAX_EDGES,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """G8: connected components — min-label propagation with pointer
     jumping over a DELTA frontier (the canonicalization CC of the
     north_rule, GraphFrames-style iterative joins).
 
-    Two scale decisions, both measured (round-1 verdict):
+    Scale decisions, all measured (round-1 + round-6 A/Bs):
       1. The symmetric edge list is ``localCheckpoint``ed ONCE up front —
          uncached, every round's action re-runs the full upstream lineage
          (source scan + dedup shuffles), which dominated wall time.
-      2. Neighbor propagation joins only the CHANGED nodes (the frontier)
-         against the edge list, not the whole parent table: after the first
-         rounds most nodes have converged, so each round's shuffle shrinks
-         with the frontier. Pointer jumping (comp ← comp(comp)) stays a
-         full self-join on the (small) parent table and keeps rounds
-         logarithmic. Convergence = empty frontier, which the loop gets for
-         free — no extra probe join.
+      2. Propagation is ONE aggregation, not a join pair: neighbor
+         contributions (edge list ⋈ frontier) union'd with each node's own
+         row, then ``groupBy(node).agg(min)`` — the previous label rides
+         along as ``min(old)`` (null on contribution rows), so the delta is
+         a filter, not a probe join.
+      3. Pointer jumping ×6 per round against the PREVIOUS round's
+         materialized parent table ("stale" jumps). Stale lookups are safe:
+         labels only ever decrease and the propagation-only fixpoint is
+         already correct (at a fixpoint adjacent nodes must share a label),
+         so jumping is purely an accelerator. Looking up the materialized
+         table means the k jump joins share one cheap build-side scan
+         instead of re-executing the round's plan k times (the round-5
+         shape recomputed the un-materialized plan per jump level).
+      4. Per-round ``localCheckpoint`` + a changed-row count on the
+         checkpointed (AQE-coalesced, lineage-free) table. A/B'd against
+         persist()+fused count: persist keeps the full logical plan alive,
+         so analysis cost and 32-task cached stages grow each round
+         (1.0→1.7 s/round) where the checkpoint rounds stay flat at
+         ~1.0 s with 3-5 partitions.
+      5. Size gate: while the edge list is ≤ ``broadcast_max_edges`` rows
+         the frontier and jump-lookup sides are explicitly broadcast (no
+         shuffle writes at all — the only exchange left is the groupBy);
+         above the gate the same plan runs unhinted and AQE handles
+         strategy + skew. Measured round 6 (interleaved A/B, same JVM):
+         old 9.04 s best vs new 4.42 s best on the sf0.1 bench graph
+         (150k nodes / 270k directed edges).
 
     Returns (node, component) with component = min node id in the component
     (string min — ids are strings; canonical entity id per SURVEY.md §7.6).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # materialize: reused every round
-    )
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    if dedup_edges:
+        # min-aggregation is duplicate-tolerant, so the dedup shuffle is an
+        # OPTIMIZATION (smaller per-round contrib volume), not a correctness
+        # requirement; callers whose edges are distinct by construction pass
+        # dedup_edges=False and the symmetrize step becomes fully narrow.
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)  # materialize: reused every round
+    # one cheap count on the materialized edges decides the join strategy
+    small = sym.count() <= broadcast_max_edges
+    B = F.broadcast if small else (lambda df: df)
     # parent pointers: node → min(neighbor ∪ self); every node starts dirty
     parent = (
         sym.groupBy("u")
@@ -464,50 +497,41 @@ def connected_components(
     changed = parent
 
     for _ in range(max_iter):
-        # propagate newly-lowered labels to neighbors (delta frontier only)
-        nb = (
-            sym.join(
-                changed.select(F.col("node").alias("v"), F.col("comp").alias("vcomp")),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("vcomp").alias("nbcomp"))
-            .withColumnRenamed("u", "node")
+        # propagate newly-lowered labels (delta frontier) + carry the old
+        # label, in a single aggregation: contribution rows have old=null,
+        # each node's self row has old=comp, min() ignores nulls.
+        contrib = sym.join(
+            B(changed.select(F.col("node").alias("v"), F.col("comp").alias("vcomp"))),
+            "v",
+        ).select(
+            F.col("u").alias("node"),
+            F.col("vcomp").alias("cand"),
+            F.lit(None).cast("string").alias("old"),
         )
-        new_parent = (
-            parent.join(nb, "node", "left")
-            .select(
+        self_rows = parent.select(
+            "node", F.col("comp").alias("cand"), F.col("comp").alias("old")
+        )
+        stepped = (
+            contrib.unionByName(self_rows)
+            .groupBy("node")
+            .agg(F.min("cand").alias("comp"), F.min("old").alias("_old"))
+        )
+        # stale pointer jumps: all k levels look up the SAME materialized
+        # previous-round parent (comp ← parentᵏ(comp)); identical broadcast
+        # plans are built once and reused.
+        lut = B(parent.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")))
+        jumped = stepped
+        for _j in range(6):
+            jumped = jumped.join(lut, "comp", "left").select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbcomp"), F.col("comp"))).alias("comp"),
-                F.col("comp").alias("_old"),  # carried: delta = comp != _old
-            )
-        )
-        # pointer jumping ×2: comp ← comp(comp(comp(comp))) per round — two
-        # self-joins quadruple the pointer-collapse rate, so path-shaped
-        # components converge in half the rounds (each round costs one
-        # materialization; the extra join is cheaper than an extra round).
-        # The old label rides along so the delta is a filter, not a join.
-        jumped = new_parent
-        for _j in range(2):
-            jumped = (
-                jumped.alias("a")
-                .join(
-                    jumped.select(
-                        F.col("node").alias("comp"), F.col("comp").alias("comp2")
-                    ).alias("b"),
-                    "comp",
-                    "left",
-                )
-                .select(
-                    F.col("node"),
-                    F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
-                    "_old",
-                )
+                F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
+                "_old",
             )
         jumped = jumped.localCheckpoint(eager=True)
+        n_changed = jumped.filter(F.col("comp") != F.col("_old")).count()
         changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
         parent = jumped.select("node", "comp")
-        if changed.isEmpty():
+        if n_changed == 0:
             break
     return parent.select(F.col("node"), F.col("comp").alias("component"))
 

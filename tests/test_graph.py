@@ -64,6 +64,27 @@ def test_connected_components_chain(spark):
     assert len(out) == 13
 
 
+def test_connected_components_broadcast_gate_equivalence(spark):
+    # forcing the size gate to 0 exercises the at-scale plain-join path;
+    # output must be identical to the broadcast fast path on the same input
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(15)] + [
+        ("z1", "z2"),
+        ("z2", "z3"),
+        ("q9", "q9"),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    fast = {
+        r["node"]: r["component"] for r in connected_components(e).collect()
+    }
+    plain = {
+        r["node"]: r["component"]
+        for r in connected_components(e, broadcast_max_edges=0).collect()
+    }
+    assert fast == plain
+    assert set(v for k, v in fast.items() if k.startswith("n")) == {"n00"}
+    assert fast["z1"] == fast["z2"] == fast["z3"] == "z1"
+
+
 def test_pagerank_sink_gets_rank(spark):
     e = edges_df(
         spark,
