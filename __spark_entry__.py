@@ -1358,6 +1358,109 @@ def _kg_core_links(spark, sf_dir):
     )
 
 
+def _kg_full_core(spark, sf_dir):
+    """The FLAGSHIP composition (``build_kg`` with commits + docs — the same
+    call kg_full_predicates runs), hash-checked end-to-end on a UDF-free
+    corpus: documents become pages whose prose gets a constructed mention
+    tail (file path + dotted qualified name + 'fix broken' repair tokens),
+    parts become the entity inventory (method/class + file entities), the
+    commit table (every 3rd message 'fix broken …', every 11th a merge) and
+    the guide docs (every 7th referencing an unresolvable symbol).
+
+    The oracle replays every stage in SQL: the mention battery's dict links
+    (closed-form from the constructed tail), structural triples, the full
+    context chain (tokenizer, eligibility regexes, leakage guard, top-20 /
+    top-12(score≥3) / top-8 selections — build_kg's defaults, not the
+    standalone entries' overrides), the collidable-vs-passthrough split,
+    and the MERGE min-weight dedup that collapses the dict 0.5 link with
+    the doc-multiplier 0.75 edge. Doc-node sha1 fragments are projected to
+    ':h' on BOTH sides (multiplicities still compare exactly)."""
+    from kgcompass_spark.pipeline import build_kg
+
+    d = _t(spark, sf_dir, "documents")
+    mstr = (((F.col("doc_id") % 20) + 1) * 10).cast("int").cast("string")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (
+            F.lit("1996-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 1000).cast("int"))
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.col("text"),
+            F.lit(" Crash in pkg/mod"), mstr,
+            F.lit(".py calling pkg.mod.widget"), mstr,
+            F.lit(" fix broken now."),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    k = F.col("p_partkey").cast("string")
+    kind = F.when(
+        (F.col("p_partkey") / 10).cast("int") % 2 == 0, F.lit("method")
+    ).otherwise(F.lit("class"))
+    name = F.concat(F.lit("pkg.mod.widget"), k)
+    fpath = F.concat(F.lit("pkg/mod"), k, F.lit(".py"))
+    nullint = F.lit(None).cast("int")
+    nullstr = F.lit(None).cast("string")
+    entities = p.select(
+        F.concat(kind, F.lit(":"), name, F.lit("@"), fpath).alias("entity_id"),
+        kind.alias("kind"),
+        fpath.alias("file_path"),
+        name.alias("name"),
+        F.concat(F.lit("widget"), k).alias("short_name"),
+        nullint.alias("start_line"),
+        nullint.alias("end_line"),
+    ).unionByName(
+        p.select(
+            F.concat(F.lit("file:"), fpath).alias("entity_id"),
+            F.lit("file").alias("kind"),
+            fpath.alias("file_path"),
+            nullstr.alias("name"),
+            nullstr.alias("short_name"),
+            nullint.alias("start_line"),
+            nullint.alias("end_line"),
+        )
+    )
+    base_msg = F.concat_ws(" ", "p_name", "p_type")
+    commits = p.select(
+        F.lpad(k, 7, "0").alias("commit_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.concat(F.lit("fix broken "), base_msg)
+        ).otherwise(base_msg).alias("message"),
+        (
+            F.lit("1995-06-01").cast("timestamp")
+            + F.make_interval(days=(F.col("p_partkey") % 1460).cast("int"))
+        ).alias("committed_ts"),
+        F.array(F.lit("pkg/data_loader.py")).alias("changed_files"),
+        F.array().cast(
+            "array<struct<file_path:string,start_line:int,end_line:int>>"
+        ).alias("changed_spans"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(2)).otherwise(F.lit(1)).alias(
+            "n_parents"
+        ),
+    )
+    sym = F.when(
+        F.col("p_partkey") % 7 == 0, F.concat(F.lit("pkg.mod.nothing"), k)
+    ).otherwise(name)
+    docs = p.select(
+        F.concat(F.lit("docs/guide"), k, F.lit(".md")).alias("doc_path"),
+        F.concat(
+            F.lit("guide for "), F.col("p_name"), F.lit(" "), F.col("p_type"),
+            F.lit(" `"), sym, F.lit("`"),
+        ).alias("text"),
+    )
+    out = build_kg(pages, entities, commits=commits, docs=docs)
+    strip = lambda c: F.regexp_replace(c, r":[0-9a-f]{12}$", ":h")  # noqa: E731
+    return out["triples"].select(
+        strip(F.col("subj")).alias("subj"),
+        "predicate",
+        strip(F.col("obj")).alias("obj"),
+        F.round("weight", 2).alias("weight"),
+        "src_url",
+    ).orderBy("subj", "predicate", "obj", "weight", "src_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-checked
@@ -1397,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_alias_link": _lsh_alias_link,
         "lsh_canonical_map": _lsh_canonical_map,
         "kg_core_links": _kg_core_links,
+        "kg_full_core": _kg_full_core,
         "contamination_docs": _contamination_docs,
         "domain_cap_docs": _domain_cap_docs,
         "hash_sample_docs": _hash_sample_docs,
@@ -2571,6 +2675,204 @@ def oracle_sql() -> dict[str, str]:
         # C-slot shared-short-name link where min(entity_id, kind) picks
         # the class over the decoy method, and the J8 ref link with the
         # existence/self/leakage guards spelled out
+        # full-pipeline replay for _kg_full_core: dict links closed-form
+        # from the constructed tail, structural triples, the whole context
+        # chain at build_kg's defaults (top-20 commits, top-12 repair with
+        # score>=3, top-8 docs), the collidable/passthrough split, and the
+        # MERGE min-weight dedup
+        "kg_full_core": r"""
+            WITH iss AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '1996-01-01'
+                       + (doc_id % 1000) * INTERVAL 1 DAY AS warc_ts,
+                     ((doc_id % 20) + 1) * 10 AS mk,
+                     text || ' Crash in pkg/mod'
+                          || CAST(((doc_id % 20) + 1) * 10 AS VARCHAR)
+                          || '.py calling pkg.mod.widget'
+                          || CAST(((doc_id % 20) + 1) * 10 AS VARCHAR)
+                          || ' fix broken now.' AS ft
+              FROM documents
+            ),
+            isstok AS (
+              SELECT url, warc_ts, mk,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(ft), '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(ft), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM iss
+            ),
+            parts0 AS (
+              SELECT p_partkey AS k, p_name, p_type,
+                     CASE WHEN (p_partkey // 10) % 2 = 0
+                          THEN 'method' ELSE 'class' END AS kind,
+                     'pkg.mod.widget' || CAST(p_partkey AS VARCHAR) AS ename,
+                     'pkg/mod' || CAST(p_partkey AS VARCHAR) || '.py' AS fpath
+              FROM part WHERE p_partkey % 10 = 0
+            ),
+            core AS (
+              SELECT 'issue:' || i.url AS subj, 'points to file' AS predicate,
+                     'file:' || p.fpath AS obj, CAST(0.25 AS DOUBLE) AS weight,
+                     i.url AS src_url
+              FROM iss i JOIN parts0 p ON p.k = i.mk
+              UNION ALL
+              SELECT 'issue:' || i.url,
+                     CASE WHEN p.kind = 'class' THEN 'points to class'
+                          ELSE 'points to method' END,
+                     p.kind || ':' || p.ename || '@' || p.fpath,
+                     CAST(0.5 AS DOUBLE), i.url
+              FROM iss i JOIN parts0 p ON p.k = i.mk
+            ),
+            structural AS (
+              SELECT 'directory:pkg' AS subj, 'contains file' AS predicate,
+                     'file:' || fpath AS obj, CAST(0.25 AS DOUBLE) AS weight,
+                     '' AS src_url
+              FROM parts0
+              UNION ALL
+              SELECT 'file:' || fpath, 'contains class',
+                     'class:' || ename || '@' || fpath, CAST(0.25 AS DOUBLE), ''
+              FROM parts0 WHERE kind = 'class'
+              UNION ALL
+              SELECT 'class:pkg.mod@' || fpath, 'contains method',
+                     'method:' || ename || '@' || fpath, CAST(0.25 AS DOUBLE), ''
+              FROM parts0 WHERE kind = 'method'
+            ),
+            msgs AS (
+              SELECT k,
+                     CASE WHEN k % 3 = 0
+                          THEN 'fix broken ' || p_name || ' ' || p_type
+                          ELSE p_name || ' ' || p_type END AS msg
+              FROM parts0
+            ),
+            com AS (
+              SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS cid,
+                     TIMESTAMP '1995-06-01'
+                       + (k % 1460) * INTERVAL 1 DAY AS cts,
+                     regexp_matches(msg,
+                       '(?i)\b(fix(?:e[sd])?|bug(?:fix)?|error|fail(?:ed|s|ure)?|regression|incorrect(?:ly)?|wrong|crash(?:es|ed)?|exception|broken|repair|resolve(?:[sd])?|invalid)\b')
+                       AS is_rep,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(
+                           lower(msg || chr(10) || 'pkg/data_loader.py'),
+                           '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(msg), '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM msgs
+              WHERE k % 11 <> 0
+                AND NOT regexp_matches(split_part(msg, chr(10), 1),
+                  '(?i)\b(pyupgrade|pre-commit|precommit|black|isort|ruff|flake8|pylint|format(?:ting)?|style|lint|whitespace|typo|spelling|docstring|sphinx|warning|codestyle|D\d{3,4}|B\d{3,4}|SIM\d{3,4}|RUF\d{3,4}|E\d{3,4}|W\d{3,4}|F\d{3,4}|dependabot|bump|changelog|release notes)\b')
+            ),
+            cpairs AS (
+              SELECT i.url, c.cid, c.cts, c.is_rep,
+                     len(list_intersect(i.toks, c.toks)) AS score
+              FROM isstok i CROSS JOIN com c
+              WHERE c.cts <= i.warc_ts
+            ),
+            selc AS (
+              SELECT url, cid FROM (
+                SELECT url, cid,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY score DESC, cts DESC, cid ASC) AS rn
+                FROM cpairs WHERE score > 0
+              ) WHERE rn <= 20
+            ),
+            selr AS (
+              SELECT url, cid FROM (
+                SELECT url, cid,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY score DESC, cts DESC, cid ASC) AS rn
+                FROM cpairs WHERE score >= 3 AND is_rep
+              ) WHERE rn <= 12
+            ),
+            docs0 AS (
+              SELECT k, 'docs/guide' || CAST(k AS VARCHAR) || '.md' AS doc_path,
+                     'guide for ' || p_name || ' ' || p_type || ' `'
+                       || CASE WHEN k % 7 = 0
+                               THEN 'pkg.mod.nothing' || CAST(k AS VARCHAR)
+                               ELSE 'pkg.mod.widget' || CAST(k AS VARCHAR) END
+                       || '`' AS text,
+                     (k % 7 <> 0) AS resolves, kind, ename, fpath
+              FROM parts0
+            ),
+            dtok AS (
+              SELECT k, doc_path, resolves, kind, ename, fpath,
+                     list_distinct(list_concat(
+                       list_filter(
+                         regexp_extract_all(lower(doc_path || chr(10) || text),
+                                            '[A-Za-z_][A-Za-z0-9_]{2,}'),
+                         t -> t NOT IN ('and','could','error','for','from','issue',
+                                        'should','that','the','this','using','when',
+                                        'with','would')),
+                       regexp_extract_all(lower(doc_path || chr(10) || text),
+                                          '\bv?\d+(?:\.\d+){1,4}\b')
+                     )) AS toks
+              FROM docs0
+            ),
+            seld AS (
+              SELECT url, k, doc_path, resolves, kind, ename, fpath FROM (
+                SELECT i.url, d.k, d.doc_path, d.resolves, d.kind, d.ename, d.fpath,
+                       row_number() OVER (
+                         PARTITION BY i.url
+                         ORDER BY len(list_intersect(i.toks, d.toks)) DESC,
+                                  d.doc_path ASC
+                       ) AS rn
+                FROM isstok i CROSS JOIN dtok d
+                WHERE len(list_intersect(i.toks, d.toks)) > 0
+              ) WHERE rn <= 8
+            ),
+            collidable AS (
+              SELECT 'issue:' || url AS subj,
+                     CASE WHEN kind = 'class' THEN 'points to class'
+                          ELSE 'points to method' END AS predicate,
+                     kind || ':' || ename || '@' || fpath AS obj,
+                     CAST(0.75 AS DOUBLE) AS weight, url AS src_url
+              FROM seld WHERE resolves
+            ),
+            merged AS (
+              SELECT subj, predicate, obj, min(weight) AS weight,
+                     min(src_url) AS src_url
+              FROM (SELECT * FROM core
+                    UNION ALL SELECT * FROM structural
+                    UNION ALL SELECT * FROM collidable)
+              GROUP BY subj, predicate, obj
+            ),
+            passthrough AS (
+              SELECT 'issue:' || url AS subj, 'points to commit' AS predicate,
+                     'commit:' || cid AS obj, CAST(0.5 AS DOUBLE) AS weight,
+                     url AS src_url
+              FROM selc
+              UNION ALL
+              SELECT DISTINCT 'commit:' || cid, 'modified file',
+                     'file:pkg/data_loader.py', CAST(0.5 AS DOUBLE), ''
+              FROM selc
+              UNION ALL
+              SELECT 'issue:' || url, 'points to repair experience',
+                     'repair:' || cid, CAST(0.25 AS DOUBLE), url
+              FROM selr
+              UNION ALL
+              SELECT DISTINCT 'repair:' || cid, 'mentions file',
+                     'file:pkg/data_loader.py', CAST(0.5 AS DOUBLE), ''
+              FROM selr
+              UNION ALL
+              SELECT 'issue:' || url, 'points to documentation',
+                     'doc:' || url || ':h', CAST(0.5 AS DOUBLE), url
+              FROM seld WHERE resolves
+              UNION ALL
+              SELECT 'doc:' || url || ':h', 'mentions file by documentation',
+                     'file:' || fpath, CAST(0.5 AS DOUBLE), ''
+              FROM seld WHERE resolves
+            )
+            SELECT subj, predicate, obj, round(weight, 2) AS weight, src_url
+            FROM (SELECT * FROM merged UNION ALL SELECT * FROM passthrough)
+            ORDER BY subj, predicate, obj, weight, src_url
+        """,
         "kg_core_links": """
             WITH sup AS (
               SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier
