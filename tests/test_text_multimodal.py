@@ -111,3 +111,80 @@ def test_multimodal_png_real_decode(spark):
         assert abs(r["feature"][3] - round(mean, 4)) < 1e-3
         assert r["feature"][5] == float(min(flat))
         assert r["feature"][6] == float(max(flat))
+
+
+def test_multimodal_jpeg_dims(spark):
+    """JPEG dims are REAL (SOF-marker scan): width/height/components come
+    from the SOF0 header; truncated JPEGs take the poison-pill path."""
+    from kgcompass_spark.operators.multimodal import synth_jpeg_media
+
+    media = synth_jpeg_media(spark, n=10)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(rows) == 10
+    for i in range(10):
+        r = rows[f"jpg{i:04d}"]
+        if i % 5 == 4:
+            assert r["decode_ok"] is False and r["feature"] == []
+            continue
+        assert r["decode_ok"] is True
+        assert r["feature"][0] == float(32 + i * 3)
+        assert r["feature"][1] == float(24 + i * 2)
+        assert r["feature"][2] == 3.0
+        assert r["feature"][7] == 1.0
+
+
+def test_multimodal_decode_bomb_and_bad_ihdr(spark):
+    """ADVICE hardening: a lying IHDR (huge declared dims) and a
+    wrong-length IHDR chunk both yield decode_ok=False rows, never an OOM
+    or a failed task."""
+    import struct as _s
+    import zlib as _z
+
+    from kgcompass_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # declared 1e9 x 1e9 RGB → expected raw bytes far beyond the cap
+    lying = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1_000_000_000, 1_000_000_000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    # IHDR chunk with a 10-byte body: passes the truncation check, used to
+    # raise struct.error out of the UDF
+    short_ihdr = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", b"\x00" * 10)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    # small IDAT that INFLATES huge against small declared dims: bounded by
+    # max_length, decode fails on short-pixel-data instead of allocating
+    bomb = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * (1 << 24)))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [
+            ("lying", "image", lying, (None, None, None, None)),
+            ("shorthdr", "image", short_ihdr, (None, None, None, None)),
+            ("bomb", "image", bomb, (None, None, None, None)),
+        ],
+        "media_id string, modality string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["lying"]["decode_ok"] is False
+    assert rows["shorthdr"]["decode_ok"] is False
+    # the 2x2 bomb: max_length bounds inflation to the 14 expected bytes —
+    # which ARE present, so it decodes fine (all-zero pixels) without ever
+    # materializing the 16 MB payload
+    assert rows["bomb"]["decode_ok"] is True
+    assert rows["bomb"]["feature"][0] == 2.0
