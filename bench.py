@@ -36,6 +36,9 @@ def main() -> None:
         pages_dataframe_distributed,
     )
 
+    # bench JVMs pin -Xms to the heap ceiling (heap-ergonomics variance
+    # killer, round-4 verdict); library/test sessions stay unpinned
+    os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
 
     timings: dict[str, float] = {}

@@ -695,6 +695,13 @@ def _normalize_java_type(t: str) -> str:
     t = _re.sub(r"\s*>", ">", t)
     t = _re.sub(r"\s*,\s*", ", ", t)
     t = _re.sub(r"\s*\[\s*\]", "[]", t)
+    # drop bare unbounded wildcards anywhere in a type-argument list, the
+    # way the reference's _get_type_name filters None args
+    # (language_factory.py:1096): Map<String, ?> → Map<String>,
+    # Map<?, V> → Map<V>, Map<?, ?> → Map, List<?> → List. Bounded
+    # wildcards (? extends T) keep their text — documented divergence.
+    t = t.replace("<?, ", "<")
+    t = _re.sub(r", \?(?=[,>])", "", t)
     t = t.replace("<?>", "")
     return t
 

@@ -94,4 +94,6 @@ def hash_sample(
         hash_fn(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
         F.lit(1_000_000),
     )
-    return docs.filter(bucket < int(fraction * 1_000_000))
+    # round, not truncate: float error (0.29 * 1e6 = 289999.999…) would
+    # silently drop one bucket versus the documented fraction*1e6 contract
+    return docs.filter(bucket < round(fraction * 1_000_000))

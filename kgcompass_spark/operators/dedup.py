@@ -44,7 +44,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition probe via the JVM-side RDD: ``df.rdd`` would wrap the plan
+    # in a Python-serialization conversion — harmless on a raw scan but a
+    # Python-worker job if this guard is ever reused downstream of a UDF
+    # battery (round-5 verdict). No job either way, just plan analysis.
+    try:
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # private-API drift: fall back to the public path
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 
@@ -304,6 +312,7 @@ def contamination_check(
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
     n: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Training-corpus decontamination: flag documents that share any
     verbatim word ``n``-gram with a benchmark/eval document — the n-gram
@@ -318,6 +327,11 @@ def contamination_check(
     count keyed on (doc, bench). The corpus text itself is never shuffled.
     Texts shorter than ``n`` tokens contribute their whole text as the
     single gram (same degenerate-shingle rule as :func:`shingles`).
+
+    ``broadcast_bench=False`` is the escape hatch for an eval suite whose
+    exploded gram set outgrows the broadcast/driver limit (ADVICE round
+    5): the join falls back to a shuffle join — the corpus grams exchange
+    once on the gram key, still no all-pairs anywhere.
     """
     doc_grams = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -327,10 +341,12 @@ def contamination_check(
         F.col(bench_id_col).alias("bench_id"),
         F.explode(F.array_distinct(shingles(F.col(bench_text_col), n))).alias("gram"),
     )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     # both sides are per-document DISTINCT gram sets, so count(*) per
     # (doc, bench) is exactly the intersection size
     return (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        doc_grams.join(bench_grams, "gram")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_hits"))
     )

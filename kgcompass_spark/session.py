@@ -64,13 +64,19 @@ def get_spark(
         # one session on an idle box (round-4 verdict) — heap ergonomics,
         # not hypervisor steal. -Xmx itself must come from
         # spark.driver.memory (Spark rejects it in extraJavaOptions).
+        # The pin is OPT-IN (SPARK_GRAFT_PIN_HEAP=1, set by bench.py): a
+        # 24 GB -Xms floor on every library/test session would fail or
+        # thrash on smaller hosts where the lazily-grown heap works fine
+        # (ADVICE round 5).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
                 "-Djava.net.preferIPv4Stack=true -Xms"
                 + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-                + " -XX:+UseG1GC",
+                + " -XX:+UseG1GC"
+                if os.environ.get("SPARK_GRAFT_PIN_HEAP", "0") == "1"
+                else "-Djava.net.preferIPv4Stack=true",
             ),
         )
     )

@@ -27,6 +27,7 @@ from kgcompass_spark.pipeline import build_kg
 from kgcompass_spark.sources.datagen import corpus_dataframes, pages_dataframe_distributed
 
 cores = int(sys.argv[1]); n_pages = int(sys.argv[2]); pages_path = sys.argv[3]
+os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")  # bench JVM: pinned heap
 spark = get_spark("scaling-%%d" %% cores, cores=cores, shuffle_partitions=cores * 2)
 _, entities, _, _ = corpus_dataframes(spark, n_pages=1)
 if not os.path.exists(pages_path):

@@ -600,3 +600,31 @@ def test_cpp_if0_disabled_regions_not_extracted():
     flagged = "#ifdef FEATURE_X\nvoid withFlag() { }\n#endif\n"
     frows = {r["short_name"] for r in parse_cpp_entities("src/f.cpp", flagged)}
     assert "withFlag" in frows
+
+
+def test_java_wildcard_type_arguments_dropped():
+    """Bare ``?`` type arguments drop anywhere in the list, mirroring the
+    reference's None-arg filter (language_factory.py:1096): Map<String, ?>
+    → Map<String>, Map<?, V> → Map<V>, Map<?, ?> → Map, List<?> → List."""
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = (
+        "package p;\n"
+        "public class W {\n"
+        "    public void a(Map<String, ?> m) { }\n"
+        "    public void b(Map<?, Integer> m) { }\n"
+        "    public void c(Map<?, ?> m) { }\n"
+        "    public void d(List<?> l) { }\n"
+        "    public void e(Map<String, List<?>> m) { }\n"
+        "}\n"
+    )
+    sigs = {
+        r["name"].split(".")[-1]: r["signature"]
+        for r in parse_java_entities("p/W.java", src)
+        if r["kind"] == "method"
+    }
+    assert sigs["a"] == "p.W.a(Map<String> m): void"
+    assert sigs["b"] == "p.W.b(Map<Integer> m): void"
+    assert sigs["c"] == "p.W.c(Map m): void"
+    assert sigs["d"] == "p.W.d(List l): void"
+    assert sigs["e"] == "p.W.e(Map<String, List> m): void"
