@@ -121,10 +121,20 @@ def fuzzy_canonical_mapping(
     transitive closure — reproducible by a DuckDB oracle (recursive-CTE
     reachability), which the driver entry ``lsh_canonical_map`` runs.
     """
-    from .dedup import char_shingles, minhash_lsh_candidates, minhash_signatures
+    from .dedup import (
+        _ensure_parallelism,
+        char_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"[^a-z0-9]+", " "))
-    base = names.select(F.col(id_col).alias("doc_id"), norm.alias("_nm"))
+    # single-row-group guard ONCE for both consumers (the signature branch
+    # guards internally, but the exact-Jaccard gram branch would otherwise
+    # compute char shingles map-side over a 1-partition parquet scan)
+    base = _ensure_parallelism(
+        names.select(F.col(id_col).alias("doc_id"), norm.alias("_nm"))
+    )
     grams = base.select(
         F.array_distinct(char_shingles(F.col("_nm"), ngram)).alias("grams"),
         "doc_id",

@@ -198,6 +198,7 @@ def seeded_support(
     path_k: int | None = None,
     frontier_cap: int | None = SIMILARITY_CANDIDATE_CAP,
     hop1_expand_excludes: tuple[str, ...] = (),
+    edges_collapsed: bool = False,
 ) -> DataFrame:
     """Evidence support over ALL shortest paths (export Cypher semantics,
     export_kg_evidence_graph.py:230-241): per (root, target) — the min HOP
@@ -234,16 +235,28 @@ def seeded_support(
     Returns (root, node, distance, support[, paths]).
     """
     carry = path_k is not None
+    # ``edges_collapsed=True``: the caller asserts (subj, obj) pairs are
+    # already unique (no parallel edges), so the min-predicate collapse /
+    # distinct — a full edge-table exchange — is an identity and the
+    # materialization becomes a narrow scan. MEASURED (round 6, interleaved
+    # A/B at sf0.1, 1.18M edges): skipping the exchange is ~1.5 s SLOWER
+    # (6.78 vs 5.18 best) — the collapse shuffle leaves the checkpoint
+    # AQE-coalesced and hash-compacted, which the per-round BFS join then
+    # reuses. Keep the default; the flag exists for inputs where the
+    # exchange itself is the bottleneck (very wide raw edge tables whose
+    # collapse does not shrink them).
     if carry:
-        e = (
-            edges.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-            .agg(F.min("predicate").alias("predicate"))
-            .localCheckpoint(eager=True)
-        )
-    else:
         e = edges.select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        ).distinct().localCheckpoint(eager=True)
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "predicate"
+        )
+        if not edges_collapsed:
+            e = e.groupBy("src", "dst").agg(F.min("predicate").alias("predicate"))
+        e = e.localCheckpoint(eager=True)
+    else:
+        e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        if not edges_collapsed:
+            e = e.distinct()
+        e = e.localCheckpoint(eager=True)
     hop1 = roots.join(e, roots["root"] == e["src"])
     if carry:
         # (root, dst) is unique after the (src, dst) predicate collapse

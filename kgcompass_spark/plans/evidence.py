@@ -198,6 +198,7 @@ def evidence_export_all(
     issue_texts: DataFrame | None = None,
     path_k: int = 1,
     precap: int = SIMILARITY_CANDIDATE_CAP,
+    edges_collapsed: bool = False,
 ) -> DataFrame:
     """Batched evidence export: the per-root ``evidence_export`` output for
     EVERY root in one job — true multi-path support via seeded_support,
@@ -219,6 +220,10 @@ def evidence_export_all(
         path_k=path_k,
         frontier_cap=precap,
         hop1_expand_excludes=("method",),
+        # NOTE: the symmetric closure preserves pair-uniqueness, so a
+        # caller whose TRIPLES have unique (subj, obj) may pass True and
+        # skip the edge-collapse exchange (see seeded_support docstring)
+        edges_collapsed=edges_collapsed,
     ).filter(F.col("node") != F.col("root"))
     typed = _typed_candidates(support, entities)
     wcap = Window.partitionBy("root").orderBy(*_export_order())
