@@ -240,6 +240,30 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # --- streaming micro-batch throughput ---------------------------------
+    # run_triples_stream is pinned output-equal to the batch battery
+    # (tests/test_streaming.py) but carried no timed number: drop the bench
+    # pages as parquet files and drain them through the state-backed dedup +
+    # foreachBatch link battery once (single shot — a drain is itself
+    # multi-batch, so per-batch JIT noise averages out inside the run).
+    # State-store size: one (url, ts) entry per in-watermark url — bounded
+    # by the watermark horizon (2h of drops), NOT corpus size.
+    import shutil
+
+    from kgcompass_spark.streaming.ingest import run_triples_stream
+
+    stream_in = os.path.join(tempfile.gettempdir(), f"bench_stream_in_{N_PAGES}")
+    if not os.path.exists(stream_in):
+        # 32 drop files → two 16-file triggers at the default max_files
+        pages.repartition(32).write.parquet(stream_in)
+    stream_out = os.path.join(tempfile.gettempdir(), "bench_stream_out")
+    shutil.rmtree(stream_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_triples_stream(spark, stream_in, entities, stream_out)
+    stream_sec = round(time.perf_counter() - t0, 3)
+    timings["triples_stream"] = stream_sec
+    reps["triples_stream"] = [stream_sec]
+
     import subprocess
     try:
         commit = subprocess.run(
@@ -264,6 +288,7 @@ def main() -> None:
         "graph_join_exchanges": exchange_counts,
         "triples_per_sec": round(triple_count.get("n", 0) / kg_sec, 1) if kg_sec else 0,
         "pages_per_sec": round(n_pages_actual / kg_sec, 1) if kg_sec else 0,
+        "stream_pages_per_sec": round(n_pages_actual / stream_sec, 1) if stream_sec else 0,
     }
     print(json.dumps(result))
 
