@@ -533,6 +533,67 @@ def _mask_template_headers(masked: str) -> str:
     return "".join(out)
 
 
+_OBJ_DEFINE_RE = _re.compile(
+    r"(?m)^[ \t]*#[ \t]*define[ \t]+([A-Za-z_]\w*)(?![\w(])[ \t]*(.*?)[ \t]*$"
+)
+# attribute junk the preprocessor/compiler erases from declaration heads:
+# __declspec(...), __attribute__((...)), alignas(...), [[attr]]
+_CPP_ATTR_RE = _re.compile(
+    r"__declspec\s*\([^()]*(?:\([^()]*\)[^()]*)*\)"
+    r"|__attribute__\s*\(\(.*?\)\)"
+    r"|\balignas\s*\([^()]*\)"
+    r"|\[\[[^\]]*\]\]"
+)
+_NS_ALIAS_RE = _re.compile(
+    r"(?m)^[ \t]*namespace\s+([A-Za-z_]\w*)\s*=\s*"
+    r"([A-Za-z_]\w*(?:\s*::\s*[A-Za-z_]\w*)*)\s*;"
+)
+
+
+def _blank_cpp_macro_heads(masked: str) -> str:
+    """Blank what the reference's libclang parse never sees (E6 macro
+    parity, round 6): occurrences of the file's OWN object-like macros
+    whose bodies are brace/semicolon-free (export/visibility/annotation
+    macros — `#define MYAPI __attribute__((...))`; a `class MYAPI Widget`
+    head would otherwise name the class MYAPI), plus compiler attributes
+    (__declspec/__attribute__/alignas/[[...]]). Length-preserving, so all
+    downstream offsets/lines stay exact. Macros expanding to structural
+    text (`#define BEGIN_NS namespace x {`) are left alone — a documented
+    divergence (position-preserving substitution cannot express them)."""
+    masked = _CPP_ATTR_RE.sub(lambda m: " " * len(m.group(0)), masked)
+    names = {
+        m.group(1)
+        for m in _OBJ_DEFINE_RE.finditer(masked)
+        if not _re.search(r"[{};]", m.group(2))
+    }
+    if not names:
+        return masked
+    pat = _re.compile(r"\b(?:%s)\b" % "|".join(map(_re.escape, sorted(names))))
+    return pat.sub(lambda m: " " * len(m.group(0)), masked)
+
+
+def _cpp_class_name(head: str) -> str | None:
+    """Class name from the head text between the class/struct/union keyword
+    and the body: the LAST identifier before any base clause, skipping the
+    contextual keyword ``final`` — so an unknown export macro from another
+    header (`class SOMELIB_API Widget : public B {`) still names Widget,
+    matching the post-expansion cursor spelling libclang reports."""
+    head = head.split(":", 1)[0]
+    ids = [t for t in _re.findall(r"[A-Za-z_]\w*", head) if t != "final"]
+    return ids[-1] if ids else None
+
+
+def _resolve_ns_alias(chain: list[str], aliases: dict[str, list[str]]) -> list[str]:
+    """Expand a leading namespace-alias segment of an out-of-line member
+    chain (`namespace a = app;` + `void a::W::run()` → app.W.run — the
+    semantic parent libclang resolves). Transitive up to a small bound."""
+    for _ in range(8):
+        if not chain or chain[0] not in aliases:
+            return chain
+        chain = aliases[chain[0]] + chain[1:]
+    return chain
+
+
 def _mask_strings_comments(src: str) -> str:
     """Length- and newline-preserving copy of ``src`` with the contents of
     string/char literals and ``//`` / ``/* */`` comments blanked to spaces.
@@ -774,9 +835,15 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
     position-preserving)."""
     source = source or ""
     masked = _mask_strings_comments(source)
+    ns_aliases: dict[str, list[str]] = {}
     if namespaces:
         masked = _mask_disabled_regions(masked)
         masked = _mask_template_headers(masked)
+        masked = _blank_cpp_macro_heads(masked)
+        ns_aliases = {
+            m.group(1): _re.findall(r"[A-Za-z_]\w*", m.group(2))
+            for m in _NS_ALIAS_RE.finditer(masked)
+        }
     rows: list[dict] = []
     # (short, start_pos, end_pos, emit_row) — namespaces qualify but don't emit
     scopes: list[tuple[str, int, int, bool, str]] = []
@@ -791,7 +858,12 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
         # method's); the Java regex stops at the name, where the forward
         # find reaches the same class brace either way
         end = _brace_span_end(masked, m.end() - 1)
-        scopes.append((m.group(2), m.start(), end, True, m.group(1)))
+        cname = m.group(2)
+        if namespaces:
+            # unknown (other-header) export macros in the head: the class
+            # name is the LAST pre-base-clause identifier, not the first
+            cname = _cpp_class_name(masked[m.end(1) : m.end() - 1]) or cname
+        scopes.append((cname, m.start(), end, True, m.group(1)))
         class_matches.append(m)
     scopes.sort(key=lambda s: (s[1], -s[2]))
 
@@ -847,7 +919,11 @@ def _parse_braced_entities(file_path: str, source: str, module: str,
                     r"((?:[A-Za-z_]\w*\s*::\s*)+)$", masked[m.start():m.start(1)]
                 )
                 if mm:
-                    chain = ".".join(_re.findall(r"[A-Za-z_]\w*", mm.group(1)))
+                    chain = ".".join(
+                        _resolve_ns_alias(
+                            _re.findall(r"[A-Za-z_]\w*", mm.group(1)), ns_aliases
+                        )
+                    )
             ns = [
                 s
                 for (s, sp, ep, emit, _) in sorted(scopes, key=lambda x: x[1])

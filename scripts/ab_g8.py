@@ -86,13 +86,18 @@ def g8_entry(cc_fn):
     return full
 
 
+def cc_new(edges):
+    # entry parity: chain edges are distinct by construction
+    return connected_components(edges, dedup_edges=False)
+
+
 # warm-up both
 g8_entry(cc_old).count()
-g8_entry(connected_components).count()
+g8_entry(cc_new).count()
 
 res = {"old": [], "new": []}
 for rep in range(3):
-    for name, fn in (("old", cc_old), ("new", connected_components)):
+    for name, fn in (("old", cc_old), ("new", cc_new)):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         g8_entry(fn).count()

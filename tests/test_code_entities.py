@@ -628,3 +628,42 @@ def test_java_wildcard_type_arguments_dropped():
     assert sigs["c"] == "p.W.c(Map m): void"
     assert sigs["d"] == "p.W.d(List l): void"
     assert sigs["e"] == "p.W.e(Map<String, List> m): void"
+
+
+def test_cpp_macro_heads_and_namespace_alias():
+    """E6 round-6 residuals: (1) object-like export macros — in-file
+    defines AND unknown other-header macros — no longer hijack class
+    names; (2) compiler attributes are erased like the preprocessor
+    would; (3) `namespace a = app;` aliases resolve in out-of-line
+    member chains, matching libclang's semantic parent."""
+    from kgcompass_spark.functions.code_entities import parse_cpp_entities
+
+    src = (
+        '#define MYAPI __attribute__((visibility("default")))\n'
+        "#define EXPORT\n"
+        "namespace app {\n"
+        "class MYAPI Widget {\n"
+        " public:\n"
+        "  void run(int n) { }\n"
+        "};\n"
+        "}\n"
+        "namespace a = app;\n"
+        "void a::Widget::stop(int n) { }\n"
+        "class SOMELIB_API Gadget : public app::Widget {\n"
+        "  void spin() { }\n"
+        "};\n"
+        "struct alignas(16) Vec { float x; };\n"
+        "EXPORT int g_count = 3;\n"
+    )
+    rows = parse_cpp_entities("lib/w.cpp", src)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], set()).add(r["name"])
+    assert "lib.w.app.Widget" in by_kind["class"]          # not ...app.MYAPI
+    assert "lib.w.Gadget" in by_kind["class"]              # not lib.w.SOMELIB_API
+    assert "lib.w.Vec" in by_kind["class"]
+    assert not any("MYAPI" in n or "SOMELIB_API" in n for n in by_kind["class"])
+    assert "lib.w.app.Widget.run" in by_kind["method"]
+    assert "lib.w.app.Widget.stop" in by_kind["method"]    # alias a → app
+    assert "lib.w.Gadget.spin" in by_kind["method"]
+    assert "lib.w.g_count" in by_kind["global_var"]
