@@ -667,3 +667,35 @@ def test_cpp_macro_heads_and_namespace_alias():
     assert "lib.w.app.Widget.stop" in by_kind["method"]    # alias a → app
     assert "lib.w.Gadget.spin" in by_kind["method"]
     assert "lib.w.g_count" in by_kind["global_var"]
+
+
+def test_java_annotation_bodies_and_text_blocks():
+    """E5 tail fidelity: @interface declarations are NOT entities (the
+    reference filters javalang ClassDeclaration only), annotation array
+    arguments ({..} inside @Anno(...)) don't skew brace spans, and text
+    blocks with braces/quotes inside stay invisible to the scan."""
+    from kgcompass_spark.functions.code_entities import parse_java_entities
+
+    src = (
+        "package p;\n"
+        "public @interface Marker {\n"
+        "    int value() default 0;\n"
+        "}\n"
+        "@Marker(value = 1)\n"
+        "public class Widget {\n"
+        "    static final String Q = \"\"\"\n"
+        "        { not a real { brace }\n"
+        "        \"\"\";\n"
+        "    @SuppressWarnings({\"unchecked\", \"raw\"})\n"
+        "    public void run(int n) { }\n"
+        "    @Anno(a = {1, 2}, b = \"x\")\n"
+        "    public int size() { return 0; }\n"
+        "}\n"
+    )
+    rows = parse_java_entities("p/W.java", src)
+    names = {(r["kind"], r["name"]) for r in rows}
+    assert ("class", "p.Widget") in names
+    assert ("method", "p.Widget.run") in names
+    assert ("method", "p.Widget.size") in names
+    assert not any("Marker" in n for _, n in names)
+    assert not any(n.endswith(".value") for _, n in names)
