@@ -262,6 +262,24 @@ def _text_distinct_ratio(spark, sf_dir):
     )
 
 
+def _repetition_signals_docs(spark, sf_dir):
+    """Gopher-style repetition signals (functions/text_quality.
+    repetition_signals — the published pretraining-corpus repetition gate)
+    per document. Lines are synthesized deterministically by turning the
+    literal token ' table ' into a newline (the corpus text is single-line
+    prose), so the line-duplication signals have real content; the oracle
+    replays the line split, the duplicate-group char accounting, and the
+    top-2/3/4-gram character fractions (lexicographically-smallest gram on
+    count ties — the fold's strict-> rule) in SQL."""
+    from kgcompass_spark.functions.text_quality import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.col("text"), " table ", "\n")
+    return d.select(
+        "doc_id", repetition_signals(t).alias("_s")
+    ).select("doc_id", "_s.*")
+
+
 def _lang_distribution(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -1478,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_cosine_topk": _p11_cosine_topk,
         "dedup_exact_docs": _dedup_exact_docs,
         "text_stats": _text_stats,
+        "repetition_signals_docs": _repetition_signals_docs,
         "text_distinct_ratio": _text_distinct_ratio,
         "lang_distribution": _lang_distribution,
         "a2_context_score": _a2_context_score,
@@ -2212,6 +2231,74 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents
             GROUP BY md5(text)
+        """,
+        "repetition_signals_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' table ', chr(10), 'g') AS t
+              FROM documents
+            ),
+            lns AS (
+              SELECT doc_id, u.x AS line
+              FROM base,
+                   unnest(list_filter(string_split(t, chr(10)),
+                                      s -> len(trim(s)) > 0)) AS u(x)
+            ),
+            lstats AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     count(DISTINCT line) AS n_dist,
+                     sum(len(line)) AS tot_chars
+              FROM lns GROUP BY doc_id
+            ),
+            lgrp AS (
+              SELECT doc_id, line, count(*) AS c, len(line) AS ll
+              FROM lns GROUP BY doc_id, line
+            ),
+            dupc AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS dup_chars
+              FROM lgrp GROUP BY doc_id
+            ),
+            toks AS (
+              SELECT doc_id, len(t) AS tlen,
+                     list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                 s -> len(s) > 0) AS tk
+              FROM base
+            ),
+            grams AS (
+              SELECT doc_id, tlen, k, gram FROM (
+                SELECT doc_id, tlen, k.k AS k,
+                       CASE WHEN len(tk) < k.k
+                            THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(
+                                   generate_series(1, len(tk) - k.k + 1),
+                                   i -> array_to_string(tk[i:i+k.k-1], ' '))
+                       END AS gs
+                FROM toks CROSS JOIN (VALUES (2), (3), (4)) AS k(k)
+              ), unnest(gs) AS g(gram)
+            ),
+            topg AS (
+              SELECT doc_id, k, gram, cnt, tlen FROM (
+                SELECT doc_id, k, gram, tlen, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id, k
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM grams GROUP BY doc_id, k, gram, tlen
+              ) WHERE rn = 1
+            ),
+            fr AS (
+              SELECT doc_id,
+                     max(CASE WHEN k = 2 THEN round(cnt * len(gram) / tlen, 6) END) AS top2_char_frac,
+                     max(CASE WHEN k = 3 THEN round(cnt * len(gram) / tlen, 6) END) AS top3_char_frac,
+                     max(CASE WHEN k = 4 THEN round(cnt * len(gram) / tlen, 6) END) AS top4_char_frac
+              FROM topg GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines,
+                   round((l.n_lines - l.n_dist) * 1.0 / l.n_lines, 6) AS dup_line_frac,
+                   round(d.dup_chars * 1.0 / l.tot_chars, 6) AS dup_line_char_frac,
+                   f.top2_char_frac, f.top3_char_frac, f.top4_char_frac
+            FROM lstats l
+            JOIN dupc d USING (doc_id)
+            JOIN fr f USING (doc_id)
         """,
         "text_stats": """
             SELECT doc_id,

@@ -105,3 +105,95 @@ def fingerprint(text: Column, k: int = 8, hash_fn=None) -> Column:
     )
     smallest = F.slice(F.array_sort(tri_hashes), 1, k)
     return hash_fn(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(gram, count) of the most frequent element of a SORTED array, via a
+    single sequential fold (F.aggregate) over adjacent runs — O(n) per row,
+    no shuffle, whole-stage codegen'd. Ties break to the run reached first
+    in sorted order, i.e. the lexicographically smallest gram (strict >),
+    which a SQL replay expresses as ORDER BY cnt DESC, gram ASC LIMIT 1."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("bestrun"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["bestrun"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["bestrun"]).alias("bestrun"),
+        )
+
+    return F.aggregate(
+        sorted_arr, init, merge,
+        lambda acc: F.struct(acc["best"].alias("gram"), acc["bestrun"].alias("cnt")),
+    )
+
+
+def repetition_signals(text: Column) -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the standard
+    pretraining-corpus quality gate; same family as NeMo-Curator/datatrove
+    repetition filters) as ONE struct column — all pure Catalyst, per-row,
+    zero shuffles, so the filter is a narrow map over a 100-TB corpus:
+
+      n_lines            non-empty line count
+      dup_line_frac      (n_lines − distinct lines) / n_lines
+      dup_line_char_frac chars in lines whose text occurs >1× / total line chars
+      top2/3/4_char_frac count(most frequent word n-gram) × len(gram)
+                         / len(text) — the "fraction of characters in the
+                         most common n-gram" rule (overlaps counted, as the
+                         published filters do)
+
+    Degenerate inputs follow :func:`...operators.dedup.shingles` (fewer
+    than n tokens → the whole text is the single gram); empty text yields
+    zeros, never nulls/NaN — a filter predicate must not need null guards.
+    """
+    from ..operators.dedup import shingles
+
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    sorted_l = F.array_sort(lines)
+    # a line is in a duplicate group iff it equals its sorted neighbor
+    dup_flags = F.transform(
+        sorted_l,
+        lambda x, i: (
+            # previous (1-based index i for 0-based position i-1; index 0 is
+            # invalid under ANSI element_at, so guard the first element)
+            F.when(i > 0, x.eqNullSafe(F.try_element_at(sorted_l, i))).otherwise(
+                F.lit(False)
+            )
+            | x.eqNullSafe(F.try_element_at(sorted_l, i + 2))    # next
+        ),
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(sorted_l, dup_flags, lambda x, d: F.when(d, F.length(x)).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    tlen = F.length(t)
+
+    def ngram_frac(k):
+        top = _top_run(F.array_sort(shingles(t, k)))
+        return F.when(
+            tlen > 0, F.round(top["cnt"] * F.length(top["gram"]) / tlen, 6)
+        ).otherwise(F.lit(0.0))
+
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))  # noqa: E731
+    return F.struct(
+        n_lines.alias("n_lines"),
+        safe((n_lines - F.size(F.array_distinct(lines))).cast("double"), n_lines).alias("dup_line_frac"),
+        safe(dup_chars.cast("double"), line_chars).alias("dup_line_char_frac"),
+        ngram_frac(2).alias("top2_char_frac"),
+        ngram_frac(3).alias("top3_char_frac"),
+        ngram_frac(4).alias("top4_char_frac"),
+    )

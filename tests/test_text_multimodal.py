@@ -188,3 +188,36 @@ def test_multimodal_decode_bomb_and_bad_ihdr(spark):
     # materializing the 16 MB payload
     assert rows["bomb"]["decode_ok"] is True
     assert rows["bomb"]["feature"][0] == 2.0
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition gate: duplicate-line fractions and top
+    n-gram character fractions, all per-row Catalyst (no shuffle)."""
+    from kgcompass_spark.functions.text_quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\n\n  \ne f"),
+            (2, "x y x y x y x y"),
+            (3, ""),
+            (4, "one two"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", repetition_signals(F.col("text")).alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == 0.25          # one of four lines repeats
+    assert r1["dup_line_char_frac"] == 0.5      # 6 of 12 line chars
+    r2 = rows[2]
+    assert r2["top2_char_frac"] == 0.8          # "x y" x4 x3 chars / 15
+    # overlapping repeats can push the published formula past 1.0 — same
+    # behavior as the reference implementations (count * len / text_len)
+    assert r2["top4_char_frac"] > 1.0
+    assert rows[3]["n_lines"] == 0 and rows[3]["top3_char_frac"] == 0.0
+    assert rows[4]["top4_char_frac"] == 1.0     # degenerate whole-text gram
