@@ -280,6 +280,61 @@ def _repetition_signals_docs(spark, sf_dir):
     ).select("doc_id", "_s.*")
 
 
+def _pii_redaction_docs(spark, sf_dir):
+    """PII redaction (functions/webtext.redact_pii) with planted PII: the
+    corpus prose carries no digits or '@', so appending one email, one
+    phone and one IPv4 per document makes the redaction closed-form — the
+    oracle computes the expected redacted text directly (md5-compared) and
+    the counts are exactly 1/1/1. Order dependence (IP before phone) is
+    part of what's pinned."""
+    from kgcompass_spark.functions.webtext import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k.cast("string"),
+        F.lit("@ex"), (k % 7).cast("string"), F.lit(".org or call 555-01"),
+        F.lpad((k % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (k % 256).cast("string"),
+        F.lit(".0."), (k % 40).cast("string"), F.lit(" now"),
+    )
+    return d.select("doc_id", redact_pii(t).alias("_r")).select(
+        "doc_id",
+        F.md5(F.col("_r.text_redacted")).alias("redacted_md5"),
+        F.col("_r.n_emails").alias("n_emails"),
+        F.col("_r.n_ips").alias("n_ips"),
+        F.col("_r.n_phones").alias("n_phones"),
+    )
+
+
+def _canonical_urls(spark, sf_dir):
+    """URL canonicalization (functions/webtext.canonicalize_url) on messy
+    constructed variants: uppercase scheme/host, www., default :443 port,
+    trailing slash, utm_*/fbclid tracking params, fragments — plus a
+    no-scheme passthrough row every 10th. The oracle computes the expected
+    canonical string closed-form (not by replaying the regexes), so the
+    check is against INTENT."""
+    from kgcompass_spark.functions.webtext import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"), (k % 50).cast("string"), F.lit(".COM"),
+        F.when(k % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/a/b"), (k % 9).cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (k % 77).cast("string"),
+        F.lit("&utm_campaign=x&q="), (k % 5).cast("string"),
+        F.when(k % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    url = F.when(k % 10 == 9, F.concat(F.lit("not a url "), k.cast("string"))).otherwise(
+        messy
+    )
+    return d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+
+
 def _lang_distribution(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -1497,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _dedup_exact_docs,
         "text_stats": _text_stats,
         "repetition_signals_docs": _repetition_signals_docs,
+        "pii_redaction_docs": _pii_redaction_docs,
+        "canonical_urls": _canonical_urls,
         "text_distinct_ratio": _text_distinct_ratio,
         "lang_distribution": _lang_distribution,
         "a2_context_score": _a2_context_score,
@@ -2231,6 +2288,24 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents
             GROUP BY md5(text)
+        """,
+        "pii_redaction_docs": r"""
+            SELECT doc_id,
+                   md5(text || ' contact <EMAIL> or call <PHONE> from <IP> now')
+                     AS redacted_md5,
+                   1 AS n_emails, 1 AS n_ips, 1 AS n_phones
+            FROM documents
+        """,
+        "canonical_urls": r"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 9
+                        THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.com/a/b' || CAST(doc_id % 9 AS VARCHAR)
+                             || '?id=' || CAST(doc_id % 77 AS VARCHAR)
+                             || '&q=' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS canonical_url
+            FROM documents
         """,
         "repetition_signals_docs": r"""
             WITH base AS (
