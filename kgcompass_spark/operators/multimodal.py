@@ -227,13 +227,75 @@ def _jpeg_decode_meta(payload: bytes) -> list[float]:
     raise ValueError("no SOF frame header")
 
 
+def _gif_decode_meta(payload: bytes) -> list[float]:
+    """REAL GIF dimension read: logical-screen width/height (little-endian
+    u16 at bytes 6-9 of the GIF87a/GIF89a header), plus the global color
+    table depth from the packed byte. Truncated input raises ValueError."""
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    gct_bits = (packed & 0x07) + 1  # size of global color table = 2^(n+1)
+    if width == 0 or height == 0:
+        raise ValueError("zero dimension")
+    return [float(width), float(height), float(gct_bits), 0.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def _bmp_decode_meta(payload: bytes) -> list[float]:
+    """REAL BMP dimension read: BITMAPINFOHEADER width/height (signed
+    little-endian i32 at offsets 18/22; height may be negative for
+    top-down DIBs — abs()'d) and bits-per-pixel at 28."""
+    if len(payload) < 30:
+        raise ValueError("truncated BMP header")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    if width <= 0 or height == 0:
+        raise ValueError("bad dimensions")
+    return [float(width), float(abs(height)), float(bpp), 0.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def _wav_decode_meta(payload: bytes) -> list[float]:
+    """REAL WAV metadata: walk RIFF chunks to ``fmt `` and read channels /
+    sample rate / bits per sample; data-chunk byte length gives duration.
+    Malformed/truncated input raises ValueError — poison-pill path."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, channels, rate, bits, data_len = 12, None, None, None, 0
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if channels is None or not rate:
+        raise ValueError("missing fmt chunk")
+    n_frames = data_len // max(1, channels * max(1, bits // 8))
+    duration = round(n_frames / rate, 6)
+    return [
+        float(rate), float(channels), float(bits), float(n_frames),
+        duration, 0.0, 0.0, 0.0,
+    ]
+
+
 def _decode(payload: bytes, modality: str) -> list[float]:
-    """Dispatch: real PNG decode / real JPEG dimension scan when the magic
-    matches, deterministic stub otherwise."""
+    """Dispatch: real decodes where the magic matches (PNG pixels, JPEG /
+    GIF / BMP dims, WAV audio metadata), deterministic stub otherwise
+    (video remains the honest stub — frame decode needs a codec)."""
     if payload[:8] == _PNG_MAGIC:
         return _png_decode(payload)
     if payload[:2] == _JPEG_MAGIC:
         return _jpeg_decode_meta(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode_meta(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode_meta(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_decode_meta(payload)
     return _decode_stub(payload, modality)
 
 

@@ -221,3 +221,42 @@ def test_repetition_signals(spark):
     assert r2["top4_char_frac"] > 1.0
     assert rows[3]["n_lines"] == 0 and rows[3]["top3_char_frac"] == 0.0
     assert rows[4]["top4_char_frac"] == 1.0     # degenerate whole-text gram
+
+
+def test_multimodal_gif_bmp_wav_real_meta(spark):
+    """GIF/BMP dims and WAV audio metadata are REAL stdlib parses; each
+    format's truncated variant takes the poison-pill path."""
+    import struct as _s
+
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + bytes([0xF2, 0, 0]) + b"\x3b"
+    bmp = (
+        b"BM" + _s.pack("<IHHI", 150, 0, 0, 54)
+        + _s.pack("<IiiHH", 40, 640, -480, 1, 24) + bytes(100)
+    )
+    # 16-bit stereo 8kHz, 4 frames of data
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = bytes(16)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [
+            ("gif", "image", gif, (None, None, None, None)),
+            ("bmp", "image", bmp, (None, None, None, None)),
+            ("wav", "audio", wav, (None, None, None, None)),
+            ("gifbad", "image", gif[:8], (None, None, None, None)),
+            ("wavbad", "audio", wav[:14], (None, None, None, None)),
+        ],
+        "media_id string, modality string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["gif"]["feature"][:2] == [320.0, 200.0]
+    assert rows["bmp"]["feature"][:3] == [640.0, 480.0, 24.0]
+    w = rows["wav"]["feature"]
+    assert w[0] == 8000.0 and w[1] == 2.0 and w[2] == 16.0
+    assert w[3] == 4.0 and abs(w[4] - 4 / 8000) < 1e-9
+    assert rows["gifbad"]["decode_ok"] is False
+    assert rows["wavbad"]["decode_ok"] is False
