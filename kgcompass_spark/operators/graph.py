@@ -509,7 +509,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     changed = parent
 
-    for _ in range(max_iter):
+    for _r in range(max_iter):
         # propagate newly-lowered labels (delta frontier) + carry the old
         # label, in a single aggregation: contribution rows have old=null,
         # each node's self row has old=comp, min() ignores nulls.
@@ -541,10 +541,15 @@ def connected_components(
                 "_old",
             )
         jumped = jumped.localCheckpoint(eager=True)
-        n_changed = jumped.filter(F.col("comp") != F.col("_old")).count()
         changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
         parent = jumped.select("node", "comp")
-        if n_changed == 0:
+        # convergence probe: isEmpty short-circuits at the first changed
+        # row on non-converged rounds (a count scans everything), and
+        # round 0 is never probed — the init round changes essentially
+        # every node, so its probe is a guaranteed-wasted job (measured
+        # A/B: 5.06 vs 5.54 s best on the g8 entry). Worst case for the
+        # skip is one extra (empty) round on a trivially-converged input.
+        if _r >= 1 and changed.isEmpty():
             break
     return parent.select(F.col("node"), F.col("comp").alias("component"))
 
