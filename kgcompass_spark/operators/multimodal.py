@@ -282,10 +282,81 @@ def _wav_decode_meta(payload: bytes) -> list[float]:
     ]
 
 
+def _mp4_decode_meta(payload: bytes) -> list[float]:
+    """REAL MP4/ISO-BMFF metadata: box walk to moov → mvhd (timescale +
+    duration → seconds) and moov → trak → tkhd (16.16 fixed-point
+    width/height). Handles version-1 (64-bit) mvhd. Malformed input
+    raises ValueError — poison-pill path."""
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,), typ = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    moov = next(((s, e) for t, s, e in boxes(payload, 0, len(payload)) if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("no moov box")
+    duration = width = height = 0.0
+    for t, s, e in boxes(payload, *moov):
+        if t == b"mvhd":
+            ver = payload[s]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", payload[s + 20 : s + 32])
+            else:
+                ts, dur = struct.unpack(">II", payload[s + 12 : s + 20])
+            duration = round(dur / ts, 6) if ts else 0.0
+        elif t == b"trak":
+            for t2, s2, _e2 in boxes(payload, s, e):
+                if t2 == b"tkhd":
+                    off = s2 + (88 if payload[s2] == 1 else 76)
+                    w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                    # first video track wins (audio tracks carry 0×0)
+                    if w16 and h16 and not width:
+                        width, height = w16 / 65536.0, h16 / 65536.0
+    if not (width and height) and not duration:
+        raise ValueError("no tkhd/mvhd metadata")
+    return [width, height, duration, 0.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def _avi_decode_meta(payload: bytes) -> list[float]:
+    """REAL AVI metadata: RIFF walk to the avih main header —
+    width/height, total frames, and fps from dwMicroSecPerFrame."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"LIST":
+            pos += 12  # descend into the list (skip its type fourcc)
+            continue
+        if cid == b"avih":
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) < 40:
+                raise ValueError("short avih")
+            us_per_frame = struct.unpack("<I", body[0:4])[0]
+            frames = struct.unpack("<I", body[16:20])[0]
+            width, height = struct.unpack("<II", body[32:40])
+            fps = round(1e6 / us_per_frame, 6) if us_per_frame else 0.0
+            return [float(width), float(height), float(frames), fps, 0.0, 0.0, 0.0, 1.0]
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("no avih header")
+
+
 def _decode(payload: bytes, modality: str) -> list[float]:
     """Dispatch: real decodes where the magic matches (PNG pixels, JPEG /
-    GIF / BMP dims, WAV audio metadata), deterministic stub otherwise
-    (video remains the honest stub — frame decode needs a codec)."""
+    GIF / BMP dims, WAV audio metadata, MP4/AVI video metadata),
+    deterministic stub otherwise (only frame/pixel decode of video needs
+    a codec and stays stubbed)."""
     if payload[:8] == _PNG_MAGIC:
         return _png_decode(payload)
     if payload[:2] == _JPEG_MAGIC:
@@ -296,6 +367,10 @@ def _decode(payload: bytes, modality: str) -> list[float]:
         return _bmp_decode_meta(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_decode_meta(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_decode_meta(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _mp4_decode_meta(payload)
     return _decode_stub(payload, modality)
 
 

@@ -260,3 +260,38 @@ def test_multimodal_gif_bmp_wav_real_meta(spark):
     assert w[3] == 4.0 and abs(w[4] - 4 / 8000) < 1e-9
     assert rows["gifbad"]["decode_ok"] is False
     assert rows["wavbad"]["decode_ok"] is False
+
+
+def test_multimodal_mp4_avi_real_meta(spark):
+    """MP4 (ISO-BMFF box walk: mvhd duration + tkhd 16.16 dims) and AVI
+    (avih main header) video METADATA are real; truncated variants take
+    the poison-pill path. Frame decode stays stubbed (needs a codec)."""
+    import struct as _s
+
+    def box(typ, body):
+        return _s.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = bytes(4) + bytes(8) + _s.pack(">II", 1000, 12500) + bytes(80)
+    tkhd_body = bytes(76) + _s.pack(">II", 640 * 65536, 360 * 65536)
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd_body)))
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + moov
+
+    avih = _s.pack("<IIII", 40000, 0, 0, 0) + _s.pack("<I", 250) + bytes(12) + _s.pack("<II", 1280, 720) + bytes(16)
+    hdrl = b"LIST" + _s.pack("<I", 4 + 8 + len(avih)) + b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih
+    avi = b"RIFF" + _s.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+    media = spark.createDataFrame(
+        [
+            ("mp4", "video", mp4, (None, None, None, None)),
+            ("avi", "video", avi, (None, None, None, None)),
+            ("mp4bad", "video", mp4[:20], (None, None, None, None)),
+        ],
+        "media_id string, modality string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    m = rows["mp4"]["feature"]
+    assert m[0] == 640.0 and m[1] == 360.0 and abs(m[2] - 12.5) < 1e-9
+    a = rows["avi"]["feature"]
+    assert a[:4] == [1280.0, 720.0, 250.0, 25.0]
+    assert rows["mp4bad"]["decode_ok"] is False
