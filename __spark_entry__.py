@@ -280,6 +280,29 @@ def _repetition_signals_docs(spark, sf_dir):
     ).select("doc_id", "_s.*")
 
 
+def _gopher_filter_docs(spark, sf_dir):
+    """Gopher quality gate (functions/text_quality.gopher_quality_filter)
+    with constructed variety: every 2nd doc doubled (crosses the 50-word
+    floor), every 3rd given a stopword tail (crosses the ≥2-stopword
+    rule) — so the corpus exercises word_count failures, stopwords
+    failures and passes. The oracle recomputes EVERY rule's statistic in
+    SQL (word stats, line fractions, stopword intersection, and the full
+    repetition-signal chain) and applies the same first-violation CASE."""
+    from kgcompass_spark.functions.text_quality import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    t = F.concat(
+        F.when(k % 2 == 0, F.concat(F.col("text"), F.lit(" "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+        F.when(k % 3 == 0, F.lit(" and of to that be have")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", gopher_quality_filter(t).alias("_g")).select(
+        "doc_id", "_g.*"
+    )
+
+
 def _pii_redaction_docs(spark, sf_dir):
     """PII redaction (functions/webtext.redact_pii) with planted PII: the
     corpus prose carries no digits or '@', so appending one email, one
@@ -1552,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _dedup_exact_docs,
         "text_stats": _text_stats,
         "repetition_signals_docs": _repetition_signals_docs,
+        "gopher_filter_docs": _gopher_filter_docs,
         "pii_redaction_docs": _pii_redaction_docs,
         "canonical_urls": _canonical_urls,
         "text_distinct_ratio": _text_distinct_ratio,
@@ -2288,6 +2312,109 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents
             GROUP BY md5(text)
+        """,
+        "gopher_filter_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN text || ' ' || text
+                           ELSE text END)
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN ' and of to that be have' ELSE '' END) AS t
+              FROM documents
+            ),
+            wstats AS (
+              SELECT doc_id, t, len(t) AS tlen,
+                     list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                 s -> len(s) > 0) AS tk
+              FROM base
+            ),
+            wagg AS (
+              SELECT doc_id, tlen,
+                     len(tk) AS n_words,
+                     CASE WHEN len(tk) > 0
+                          THEN list_sum(list_transform(tk, x -> len(x)))
+                               * 1.0 / len(tk) ELSE 0 END AS mean_len,
+                     CASE WHEN len(tk) > 0
+                          THEN len(regexp_extract_all(t, '(#|\.\.\.)'))
+                               * 1.0 / len(tk) ELSE 0 END AS sym_ratio,
+                     CASE WHEN len(tk) > 0
+                          THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                               * 1.0 / len(tk) ELSE 0 END AS alpha_frac,
+                     len(list_intersect(list_distinct(tk),
+                         ['the','be','to','of','and','that','have','with'])) AS n_stop,
+                     list_filter(string_split(t, chr(10)),
+                                 s -> len(trim(s)) > 0) AS lns
+              FROM wstats
+            ),
+            lagg AS (
+              SELECT doc_id,
+                     len(lns) AS n_lines,
+                     CASE WHEN len(lns) > 0
+                          THEN len(list_filter(lns, x -> regexp_matches(trim(x), '^([-*•])')))
+                               * 1.0 / len(lns) ELSE 0 END AS bullet_frac,
+                     CASE WHEN len(lns) > 0
+                          THEN len(list_filter(lns, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
+                               * 1.0 / len(lns) ELSE 0 END AS ellipsis_frac,
+                     CASE WHEN len(lns) > 0
+                          THEN round((len(lns) - len(list_distinct(lns))) * 1.0
+                                     / len(lns), 6) ELSE 0 END AS dup_line_frac,
+                     CASE WHEN list_sum(list_transform(lns, x -> len(x))) > 0
+                          THEN round(coalesce((
+                                 SELECT sum(c * ll) FROM (
+                                   SELECT line, count(*) AS c, len(line) AS ll
+                                   FROM unnest(lns) AS u(line) GROUP BY line
+                                 ) WHERE c > 1), 0) * 1.0
+                               / list_sum(list_transform(lns, x -> len(x))), 6)
+                          ELSE 0 END AS dup_line_char_frac
+              FROM wagg
+            ),
+            grams AS (
+              SELECT doc_id, tlen, k, gram FROM (
+                SELECT w.doc_id, w.tlen, k.k AS k,
+                       CASE WHEN len(w.tk) < k.k
+                            THEN [array_to_string(w.tk, ' ')]
+                            ELSE list_transform(
+                                   generate_series(1, len(w.tk) - k.k + 1),
+                                   i -> array_to_string(w.tk[i:i+k.k-1], ' '))
+                       END AS gs
+                FROM wstats w CROSS JOIN (VALUES (2), (3), (4)) AS k(k)
+              ), unnest(gs) AS g(gram)
+            ),
+            topg AS (
+              SELECT doc_id, k,
+                     round(cnt * len(gram) * 1.0 / tlen, 6) AS frac
+              FROM (
+                SELECT doc_id, k, gram, tlen, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id, k
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM grams GROUP BY doc_id, k, gram, tlen
+              ) WHERE rn = 1
+            ),
+            tf AS (
+              SELECT doc_id,
+                     max(CASE WHEN k = 2 THEN frac END) AS top2,
+                     max(CASE WHEN k = 3 THEN frac END) AS top3,
+                     max(CASE WHEN k = 4 THEN frac END) AS top4
+              FROM topg GROUP BY doc_id
+            ),
+            judged AS (
+              SELECT w.doc_id,
+                     CASE WHEN w.n_words < 50 OR w.n_words > 100000 THEN 'word_count'
+                          WHEN w.mean_len < 3 OR w.mean_len > 10 THEN 'mean_word_len'
+                          WHEN w.sym_ratio > 0.1 THEN 'symbol_ratio'
+                          WHEN l.bullet_frac > 0.9 THEN 'bullet_lines'
+                          WHEN l.ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                          WHEN w.alpha_frac < 0.8 THEN 'alpha_words'
+                          WHEN w.n_stop < 2 THEN 'stopwords'
+                          WHEN l.dup_line_frac > 0.30 THEN 'dup_line_frac'
+                          WHEN l.dup_line_char_frac > 0.20 THEN 'dup_line_char_frac'
+                          WHEN t.top2 > 0.20 THEN 'top2_char_frac'
+                          WHEN t.top3 > 0.18 THEN 'top3_char_frac'
+                          WHEN t.top4 > 0.16 THEN 'top4_char_frac'
+                          ELSE NULL END AS reason
+              FROM wagg w JOIN lagg l USING (doc_id) JOIN tf t USING (doc_id)
+            )
+            SELECT doc_id, reason IS NULL AS keep, reason FROM judged
         """,
         "pii_redaction_docs": r"""
             SELECT doc_id,

@@ -197,3 +197,76 @@ def repetition_signals(text: Column) -> Column:
         ngram_frac(3).alias("top3_char_frac"),
         ngram_frac(4).alias("top4_char_frac"),
     )
+
+
+#: stopword list for the Gopher "contains common words" rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2: float = 0.20,
+    max_top3: float = 0.18,
+    max_top4: float = 0.16,
+) -> Column:
+    """Gopher quality gate (Rae et al. 2021 §A1.1 rule family, thresholds
+    as published / as the open reimplementations ship them) composed over
+    :func:`repetition_signals` — struct(keep, reason) where ``reason``
+    names the FIRST violated rule in a fixed order (word_count,
+    mean_word_len, symbol_ratio, bullet_lines, ellipsis_lines,
+    alpha_words, stopwords, dup_line_frac, dup_line_char_frac,
+    top2/3/4_char_frac) and is null when the document passes. Pure
+    Catalyst per-row logic — the corpus-scale keep/drop decision is a
+    narrow map. The 5-10-gram duplicate-char rules of the paper are not
+    implemented (documented subset)."""
+    t = F.coalesce(text, F.lit(""))
+    toks = tokens(t)
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"(#|\.\.\.)"), 0))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    frac_lines = lambda pred: F.when(  # noqa: E731
+        n_lines > 0, F.size(F.filter(lines, pred)) / n_lines
+    ).otherwise(F.lit(0.0))
+    bullet_frac = frac_lines(lambda x: F.trim(x).rlike(r"^([-*•])"))
+    ellipsis_frac = frac_lines(lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    sig = repetition_signals(t)
+    reason = (
+        F.when((n_words < min_words) | (n_words > max_words), F.lit("word_count"))
+        .when((mean_len < min_mean_word_len) | (mean_len > max_mean_word_len), F.lit("mean_word_len"))
+        .when(symbol_ratio > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(bullet_frac > max_bullet_frac, F.lit("bullet_lines"))
+        .when(ellipsis_frac > max_ellipsis_frac, F.lit("ellipsis_lines"))
+        .when(alpha_frac < min_alpha_frac, F.lit("alpha_words"))
+        .when(n_stop < min_stopwords, F.lit("stopwords"))
+        .when(sig["dup_line_frac"] > max_dup_line_frac, F.lit("dup_line_frac"))
+        .when(sig["dup_line_char_frac"] > max_dup_line_char_frac, F.lit("dup_line_char_frac"))
+        .when(sig["top2_char_frac"] > max_top2, F.lit("top2_char_frac"))
+        .when(sig["top3_char_frac"] > max_top3, F.lit("top3_char_frac"))
+        .when(sig["top4_char_frac"] > max_top4, F.lit("top4_char_frac"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(reason.isNull().alias("keep"), reason.alias("reason"))

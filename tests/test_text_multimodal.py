@@ -295,3 +295,31 @@ def test_multimodal_mp4_avi_real_meta(spark):
     a = rows["avi"]["feature"]
     assert a[:4] == [1280.0, 720.0, 250.0, 25.0]
     assert rows["mp4bad"]["decode_ok"] is False
+
+
+def test_gopher_quality_filter(spark):
+    """Composite Gopher gate: first-violation reason in fixed rule order."""
+    from kgcompass_spark.functions.text_quality import gopher_quality_filter
+
+    long_good = (
+        " ".join(f"alpha{i} beta{i}" for i in range(30)) + " the of and that"
+    )  # 64 words, all distinct except the stopword tail — low repetition
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),                              # word_count
+            (2, " ".join(f"word{i}" for i in range(60))),  # no stopwords
+            (3, long_good),                                # passes
+            (4, " ".join(["the office and"] * 30)),        # repetition trips
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select("id", gopher_quality_filter(F.col("text")).alias("g"))
+        .select("id", "g.*")
+        .collect()
+    }
+    assert rows[1]["reason"] == "word_count"
+    assert rows[2]["reason"] == "stopwords"
+    assert rows[3]["keep"] is True and rows[3]["reason"] is None
+    assert rows[4]["keep"] is False and rows[4]["reason"].endswith("char_frac")
