@@ -449,6 +449,8 @@ def connected_components(
     max_iter: int = 20,
     broadcast_max_edges: int = _CC_BROADCAST_MAX_EDGES,
     dedup_edges: bool = True,
+    spill_every: int = 4,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """G8: connected components — min-label propagation with pointer
     jumping over a DELTA frontier (the canonicalization CC of the
@@ -463,7 +465,7 @@ def connected_components(
          row, then ``groupBy(node).agg(min)`` — the previous label rides
          along as ``min(old)`` (null on contribution rows), so the delta is
          a filter, not a probe join.
-      3. Pointer jumping ×6 per round against the PREVIOUS round's
+      3. Pointer jumping ×4 per round against the PREVIOUS round's
          materialized parent table ("stale" jumps). Stale lookups are safe:
          labels only ever decrease and the propagation-only fixpoint is
          already correct (at a fixpoint adjacent nodes must share a label),
@@ -484,10 +486,34 @@ def connected_components(
          strategy + skew. Measured round 6 (interleaved A/B, same JVM):
          old 9.04 s best vs new 4.42 s best on the sf0.1 bench graph
          (150k nodes / 270k directed edges).
+      6. STATS-RESET SPILL every ``spill_every`` rounds (parquet
+         round-trip instead of the localCheckpoint). Root cause, found by
+         jstack round 6: Catalyst's size-only stats visitor MULTIPLIES
+         child sizeInBytes at every join, and checkpoints carry
+         ``originStats`` forward — a round that references its own prior
+         table k times therefore compounds the estimate into a power
+         tower (bits ×k per round), and by ~25-30 cumulative join
+         references the BigInt arithmetic inside stats estimation alone
+         burns 50-100 s per round (measured: round 8 = 98 s on a 55-node
+         graph; the round-5 shape had the same latent bug — it was never
+         driven past 6 rounds). A parquet read-back resets sizeInBytes to
+         the real file size, so per-round cost stays flat (forced-12-round
+         A/B: ≤3 s/round with the spill vs 98 s at round 8 without).
+         Graphs that converge before ``spill_every`` rounds (the bench
+         graph: 3) never pay the spill. On a multi-executor cluster pass
+         ``spill_dir`` on shared storage (the driver's tempdir is only
+         visible in local mode).
 
     Returns (node, component) with component = min node id in the component
     (string min — ids are strings; canonical entity id per SURVEY.md §7.6).
     """
+    import os
+    import tempfile
+    import uuid
+
+    spill_base = spill_dir or os.path.join(
+        tempfile.gettempdir(), f"cc_spill_{uuid.uuid4().hex}"
+    )
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -534,13 +560,20 @@ def connected_components(
         # plans are built once and reused.
         lut = B(parent.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")))
         jumped = stepped
-        for _j in range(6):
+        for _j in range(4):
             jumped = jumped.join(lut, "comp", "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"),
                 "_old",
             )
-        jumped = jumped.localCheckpoint(eager=True)
+        if spill_every and (_r + 1) % spill_every == 0:
+            # stats-reset spill (decision 6): alternate two slots so the
+            # overwrite never clobbers the file a live plan still reads
+            path = f"{spill_base}_{(_r // spill_every) % 2}"
+            jumped.write.mode("overwrite").parquet(path)
+            jumped = edges.sparkSession.read.parquet(path)
+        else:
+            jumped = jumped.localCheckpoint(eager=True)
         changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
         parent = jumped.select("node", "comp")
         # convergence probe: isEmpty short-circuits at the first changed
