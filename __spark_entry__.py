@@ -1604,14 +1604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": _contamination_docs,
         "domain_cap_docs": _domain_cap_docs,
         "hash_sample_docs": _hash_sample_docs,
-        # rows-only
-        "ranked_related": _ranked_related,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_docs": _simhash_docs,
         "fingerprint_docs": _fingerprint_docs,
         "detect_language_docs": _detect_language_docs,
         "lsh_cosine_topk": _lsh_cosine_topk,
         "ivf_cosine_topk": _ivf_cosine_topk,
+        # tail: entries without a DuckDB oracle (ranked_related needs the
+        # pluggable encoder UDF; the composites below are UDF-blocked) —
+        # kept AFTER the 50 oracle-backed entries so the driver's 50-row
+        # correctness window checks only oracle-verifiable queries
+        "ranked_related": _ranked_related,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_full_predicates": _kg_full_predicates,
         "kg_from_sources_triples": _kg_from_sources,
