@@ -423,20 +423,21 @@ def _g8_connected_components(spark, sf_dir):
         F.col("o_orderkey").alias("dst"),
         F.lag("o_orderkey").over(w).alias("src"),
     ).filter(F.col("src").isNotNull())
-    # CC node ids are strings; zero-pad so the string min used for the
-    # component id agrees with the numeric min the oracle computes.
-    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
-    edges = chain.select(pad(F.col("src")).alias("src"), pad(F.col("dst")).alias("dst"))
+    # CC is type-generic (r7): bigint orderkeys pass straight through — min
+    # over longs IS the numeric min the oracle computes, and an 8-byte key
+    # shuffles/compares far cheaper than the former zero-padded string.
+    edges = chain.select(F.col("src").cast("long").alias("src"),
+                         F.col("dst").cast("long").alias("dst"))
     # chain edges are distinct by construction (one lag edge per consecutive
     # order pair), so the op can skip its dedup shuffle
     cc = connected_components(edges, dedup_edges=False)
     # singletons (customers with one order) are their own component
-    all_nodes = o.select(pad(F.col("o_orderkey")).alias("node"))
+    all_nodes = o.select(F.col("o_orderkey").cast("long").alias("node"))
     full = (
         all_nodes.join(cc, "node", "left")
         .select(
-            F.col("node").cast("long").alias("o_orderkey"),
-            F.coalesce(F.col("component"), F.col("node")).cast("long").alias("component"),
+            F.col("node").alias("o_orderkey"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
         )
     )
     return full

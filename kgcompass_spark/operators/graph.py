@@ -331,7 +331,24 @@ def seeded_support(
         last_round = h == max_hops
         nxt = fr.join(e, fr["node"] == e["src"]).select(*nxt_cols)
         merged = best.unionByName(nxt)
-        if carry:
+        if carry and path_k == 1:
+            # path_k=1 fast path (round 7): every row's ``paths`` is a
+            # singleton array, and struct comparison is (hops, then the
+            # path's (k, p)) — exactly the min-hop-then-lexicographic rule
+            # the collect_list + filter + sort + slice chain computes. A
+            # plain min() is a declarative aggregate: it partial-aggregates
+            # map-side (HashAggregate), where collect_list ships every row
+            # through an ObjectHashAggregate with no combine.
+            new_best = (
+                merged.groupBy("root", "seed", "node")
+                .agg(F.min(F.struct("hops", "paths")).alias("_b"))
+                .select(
+                    "root", "seed", "node",
+                    F.col("_b.hops").alias("hops"),
+                    F.col("_b.paths").alias("paths"),
+                )
+            )
+        elif carry:
             # one shuffle: gather this key's (hops, paths) rows, then keep
             # the min-hop ones and the path_k smallest paths — unit-hop BFS
             # discovers ALL min-hop paths in the discovery round, so the
@@ -388,17 +405,52 @@ def seeded_support(
         if n_front == 0:
             break
     # --- final per-(root, node) reduction: ONE hash-agg ---------------------
-    # (was: min-hop groupBy + join-back + second groupBy — three exchanges
-    # on the same key over the full BFS state; the per-key row count is
-    # bounded by the seed fan-in, so a collect_list fits comfortably)
-    if carry:
+    # (root, seed, node) is unique in ``best`` (hop1 is per-key unique and
+    # every merge is a groupBy on the key), so "distinct seeds at the min
+    # distance" is simply the ROW COUNT at the min distance — and hops only
+    # takes values 1..max_hops, so per-hop conditional sums + a CASE on the
+    # min replace the former collect_list gather entirely. Every aggregate
+    # here is declarative (min/sum), so the reduction partial-aggregates
+    # map-side where the ObjectHashAggregate collect_list shipped every BFS
+    # state row through the exchange (guide §2.3). The collect_list shape
+    # survives only for path_k > 1 (multi-path diversity export).
+    hop_sums = [
+        F.sum(F.when(F.col("hops") == h, 1).otherwise(0)).alias(f"_s{h}")
+        for h in range(1, max_hops + 1)
+    ]
+
+    def _support(minh):
+        expr = F.lit(None).cast("long")
+        for h in range(max_hops, 0, -1):
+            expr = F.when(minh == h, F.col(f"_s{h}")).otherwise(expr)
+        return expr.cast("int")
+
+    if not carry:
         g = best.groupBy("root", "node").agg(
-            F.collect_list(F.struct("hops", "seed", "paths")).alias("_l")
+            F.min("hops").alias("_minh"), *hop_sums
         )
-    else:
+        return g.select(
+            "root",
+            "node",
+            F.col("_minh").alias("distance"),
+            _support(F.col("_minh")).alias("support"),
+        )
+    if path_k == 1:
+        # min over (hops, paths) = min-hop row with the lexicographically
+        # smallest singleton path — identical to the sort + slice(1,1)
         g = best.groupBy("root", "node").agg(
-            F.collect_list(F.struct("hops", "seed")).alias("_l")
+            F.min(F.struct("hops", "paths")).alias("_b"), *hop_sums
         )
+        return g.select(
+            "root",
+            "node",
+            F.col("_b.hops").alias("distance"),
+            _support(F.col("_b.hops")).alias("support"),
+            F.transform(F.col("_b.paths"), lambda s: s["p"]).alias("paths"),
+        )
+    g = best.groupBy("root", "node").agg(
+        F.collect_list(F.struct("hops", "seed", "paths")).alias("_l")
+    )
     g = g.withColumn(
         "_minh", F.array_min(F.transform(F.col("_l"), lambda x: x["hops"]))
     )
@@ -406,13 +458,6 @@ def seeded_support(
     support = F.size(
         F.array_distinct(F.transform(at_min, lambda x: x["seed"]))
     )
-    if not carry:
-        return g.select(
-            "root",
-            "node",
-            F.col("_minh").alias("distance"),
-            support.alias("support"),
-        )
     paths = F.transform(
         F.slice(
             F.array_sort(
@@ -501,19 +546,43 @@ def connected_components(
          A/B: ≤3 s/round with the spill vs 98 s at round 8 without).
          Graphs that converge before ``spill_every`` rounds (the bench
          graph: 3) never pay the spill. On a multi-executor cluster pass
-         ``spill_dir`` on shared storage (the driver's tempdir is only
-         visible in local mode).
+         ``spill_dir`` on shared storage: with ``spill_dir`` unset and a
+         non-local master the spill is DISABLED (localCheckpoint instead)
+         rather than silently writing executor-local files the read-back
+         could not see — deep graphs then pay the stats tower but stay
+         correct; spill slots are deleted after convergence.
+      7. Node ids are type-generic (round 7): every comparison/min here is
+         orderable-type algebra, so callers with numeric ids pass them
+         straight through — a bigint key shuffles 8 bytes/row where the
+         zero-padded string spelling shuffled ~20 and compares word-wide
+         instead of byte-wise (guide §2.3 "narrower types"). The jump LUT
+         is also filtered to NON-ROOT pointers (node != comp): self-
+         pointers contribute nothing under the left-join + coalesce, and
+         after round 1 most nodes already point at their root, so the four
+         jump-join build sides shrink from |V| to the not-yet-settled set
+         (AQE then broadcasts them even above the edge-count gate).
 
     Returns (node, component) with component = min node id in the component
-    (string min — ids are strings; canonical entity id per SURVEY.md §7.6).
+    (min over the id's native ordering; canonical entity id per SURVEY.md
+    §7.6).
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
+    if spill_dir is None and not edges.sparkSession.sparkContext.master.startswith(
+        "local"
+    ):
+        # ADVICE r6: a driver-local tempdir is invisible to executors on a
+        # real cluster — the parquet read-back would silently return
+        # partial data. Correctness first: disable the spill (fall back to
+        # localCheckpoint; slower past ~spill_every rounds, never wrong).
+        spill_every = 0
     spill_base = spill_dir or os.path.join(
         tempfile.gettempdir(), f"cc_spill_{uuid.uuid4().hex}"
     )
+    spill_used = False
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -524,6 +593,7 @@ def connected_components(
         # dedup_edges=False and the symmetrize step becomes fully narrow.
         sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)  # materialize: reused every round
+    id_type = sym.schema["u"].dataType  # node ids: any orderable type
     # one cheap count on the materialized edges decides the join strategy
     small = sym.count() <= broadcast_max_edges
     B = F.broadcast if small else (lambda df: df)
@@ -545,7 +615,7 @@ def connected_components(
         ).select(
             F.col("u").alias("node"),
             F.col("vcomp").alias("cand"),
-            F.lit(None).cast("string").alias("old"),
+            F.lit(None).cast(id_type).alias("old"),
         )
         self_rows = parent.select(
             "node", F.col("comp").alias("cand"), F.col("comp").alias("old")
@@ -557,8 +627,15 @@ def connected_components(
         )
         # stale pointer jumps: all k levels look up the SAME materialized
         # previous-round parent (comp ← parentᵏ(comp)); identical broadcast
-        # plans are built once and reused.
-        lut = B(parent.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")))
+        # plans are built once and reused. Self-pointers (node == comp) are
+        # filtered out of the LUT — under the left join + coalesce they
+        # resolve to the same value, and dropping them shrinks the build
+        # side to the not-yet-settled nodes (decision 7).
+        lut = B(
+            parent.filter(F.col("node") != F.col("comp")).select(
+                F.col("node").alias("comp"), F.col("comp").alias("comp2")
+            )
+        )
         jumped = stepped
         for _j in range(4):
             jumped = jumped.join(lut, "comp", "left").select(
@@ -572,6 +649,7 @@ def connected_components(
             path = f"{spill_base}_{(_r // spill_every) % 2}"
             jumped.write.mode("overwrite").parquet(path)
             jumped = edges.sparkSession.read.parquet(path)
+            spill_used = True
         else:
             jumped = jumped.localCheckpoint(eager=True)
         changed = jumped.filter(F.col("comp") != F.col("_old")).select("node", "comp")
@@ -584,7 +662,14 @@ def connected_components(
         # skip is one extra (empty) round on a trivially-converged input.
         if _r >= 1 and changed.isEmpty():
             break
-    return parent.select(F.col("node"), F.col("comp").alias("component"))
+    out = parent.select(F.col("node"), F.col("comp").alias("component"))
+    if spill_used and spill_dir is None:
+        # ADVICE r6: reclaim the tempdir slots. The final parent may still
+        # read from a spill file, so cut that dependency first.
+        out = out.localCheckpoint(eager=True)
+        for slot in (f"{spill_base}_0", f"{spill_base}_1"):
+            shutil.rmtree(slot, ignore_errors=True)
+    return out
 
 
 def candidate_graph_rank(

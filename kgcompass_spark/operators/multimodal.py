@@ -1,15 +1,16 @@
 """Multimodal column handling — image/audio/video as opaque binary columns
 with typed metadata.
 
-PNG is decoded FOR REAL (stdlib struct + zlib: chunk walk, IHDR dims,
-IDAT inflate, full scanline unfiltering incl. Paeth) — no external decode
-libs needed. Other formats fall back to a deterministic stub (those libs
-aren't in this container); the Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is identical either way, so a real
-JPEG/audio/video decoder (PIL/ffmpeg/torchaudio) drops in by extending
-``_decode`` only. At scale the pure-Python per-pixel unfilter loop is the
-part a vectorized decoder replaces; the mapInPandas batching around it
-does not change.
+Six formats decode FOR REAL with stdlib-only parsers: PNG full pixel decode
+(struct + zlib: chunk walk, IHDR dims, IDAT inflate, scanline unfiltering
+incl. Paeth), JPEG SOF dimensions, GIF/BMP dimensions, WAV RIFF audio
+metadata, and MP4/AVI video metadata. The one honest stub left is video
+FRAME/pixel decode (codec territory — needs ffmpeg-class libs this
+container lacks); the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is identical either way, so a real codec
+drops in by extending ``_decode`` only. At scale the pure-Python per-pixel
+PNG unfilter loop is the part a vectorized decoder replaces; the
+mapInPandas batching around it does not change.
 
 Pattern: media rows are (id, modality, media binary, meta struct). All
 per-byte work happens in ``mapInPandas`` over Arrow batches.

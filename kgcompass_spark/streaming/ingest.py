@@ -115,6 +115,7 @@ def run_triples_stream(
     entities: DataFrame,
     out_dir: str,
     watermark: str = "2 hours",
+    max_files: int = 64,
 ):
     """Continuous KG construction: page-drop stream → state-backed url
     dedup → per-micro-batch core link battery → append-only parquet triple
@@ -136,6 +137,16 @@ def run_triples_stream(
     catalog MERGE (min weight per (subj, predicate, obj)) remains the
     batch-side dedup, as with any at-least-once streaming sink.
 
+    ``max_files`` (maxFilesPerTrigger) is the throughput/latency knob:
+    every micro-batch pays a fixed re-plan + broadcast-rebuild cost for the
+    whole link battery, so per-page cost falls roughly linearly with batch
+    size until compute dominates (measured round 6: 2,295 pages/s at 48k
+    pages per drain in 16-file batches vs 13,430 pages/s at 480k — the SAME
+    plan, just amortized; round-7 A/B at 48k pages: one 32-file batch
+    drains ~1.5-2× faster than two 16-file batches). Default favors
+    throughput (drain/backfill); a latency-sensitive tail would lower it to
+    bound time-to-first-triple.
+
     Returns the stopped StreamingQuery after draining ``input_dir``.
     """
     from ..operators.triples import links_to_triples
@@ -147,7 +158,9 @@ def run_triples_stream(
         prepare_pages,
     )
 
-    deduped = streaming_url_dedup(read_pages_stream(spark, input_dir), watermark)
+    deduped = streaming_url_dedup(
+        read_pages_stream(spark, input_dir, max_files=max_files), watermark
+    )
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         prepared = prepare_pages(batch_df, None).persist()
