@@ -331,6 +331,21 @@ def seeded_support(
         last_round = h == max_hops
         nxt = fr.join(e, fr["node"] == e["src"]).select(*nxt_cols)
         merged = best.unionByName(nxt)
+        if last_round and h == 2 and (path_k == 1 or not carry):
+            # 2-hop fast path (round 7): skip the last-round merge
+            # aggregation — a full sort + exchange + sort of the whole BFS
+            # state that the final reduction immediately re-aggregates.
+            # Safe ONLY here: at h == 2 the frontier has exactly one row
+            # per (root, seed) (its own seed node), so the discovery join
+            # cannot emit two rows with the same (root, seed, node) — at
+            # h >= 3 two distinct hop-(h-1) nodes of one seed can reach
+            # the same target and WOULD duplicate the key. The final
+            # reduction then sees at most one row per (key, hop level),
+            # which keeps its count-at-min-distance == distinct seeds and
+            # its min(struct) == best path (duplicates at different hop
+            # levels collapse under min/CASE exactly as the merge did).
+            best = merged
+            break
         if carry and path_k == 1:
             # path_k=1 fast path (round 7): every row's ``paths`` is a
             # singleton array, and struct comparison is (hops, then the
@@ -480,11 +495,18 @@ def seeded_support(
 
 
 #: Broadcast the per-round lookup tables only while the materialized
-#: symmetric edge list is at most this many rows (~2M edges ≈ tens of MB of
-#: 12-char ids — comfortably under the 64 MB broadcast threshold). Above it
-#: the identical plan runs with plain joins and AQE picks the strategy; the
-#: equivalence test forces the gate to 0 and pins identical output.
-_CC_BROADCAST_MAX_EDGES = 2_000_000
+#: symmetric edge list is at most this many rows. What actually broadcasts
+#: is NODE-keyed (frontier / jump LUT, ≤ 2|E| rows of (id, id)), so the
+#: worst-case build at the gate is ~2 × 8M × 16 B ≈ 256 MB for bigint ids —
+#: inside guide §3.1's "a few hundred MB is usually fine" envelope, and the
+#: post-round-1 LUT is far smaller after the non-root filter. Gate placement
+#: is measured, not guessed: the round-6 2M gate left the sf1 bench graph
+#: (2.7M edges) on the plain-join branch, and a round-7 interleaved A/B at
+#: sf1 showed forced broadcast beating plain joins on every pair
+#: (7.6/13.3/7.0 s vs 10.3/20.9/7.6 s). Above the gate the identical plan
+#: runs with plain joins and AQE picks the strategy; the equivalence test
+#: forces the gate to 0 and pins identical output.
+_CC_BROADCAST_MAX_EDGES = 8_000_000
 
 
 def connected_components(

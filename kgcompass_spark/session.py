@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1/§9): skips both sort passes. Measured
+        # round 7 (interleaved, sf1): j6 lineitem⋈orders 2.4-4.0 s SMJ vs
+        # 1.7-1.9 s SHJ; the rest of the suite neutral. Not a local-mode
+        # hack — the planner still falls back to SMJ when a build side
+        # exceeds its per-partition threshold, and AQE skew-split applies
+        # to both; env-overridable for memory-tight executors.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -138,14 +138,16 @@ def run_triples_stream(
     batch-side dedup, as with any at-least-once streaming sink.
 
     ``max_files`` (maxFilesPerTrigger) is the throughput/latency knob:
-    every micro-batch pays a fixed re-plan + broadcast-rebuild cost for the
-    whole link battery, so per-page cost falls roughly linearly with batch
-    size until compute dominates (measured round 6: 2,295 pages/s at 48k
-    pages per drain in 16-file batches vs 13,430 pages/s at 480k — the SAME
-    plan, just amortized; round-7 A/B at 48k pages: one 32-file batch
-    drains ~1.5-2× faster than two 16-file batches). Default favors
-    throughput (drain/backfill); a latency-sensitive tail would lower it to
-    bound time-to-first-triple.
+    every micro-batch pays a fixed re-plan + broadcast-rebuild + codegen
+    cost for the whole link battery, so per-page cost falls with batch size
+    until compute dominates. Measured round-7 interleaved A/B (48k pages in
+    32 drop files, same JVM): first drain 26.3 / 17.6 / 14.5 s at 16/32/64
+    files per trigger — amortization dominates while codegen is cold — and
+    fully warm 11.4 / 11.5 / 10.7 s (fixed cost ~0.5 s/batch once JIT'd).
+    Round 6 saw the same effect across corpus sizes: 2,295 pages/s at 48k
+    in 16-file batches vs 13,430 pages/s at 480k, the SAME plan. Default
+    favors throughput (drain/backfill); a latency-sensitive tail would
+    lower it to bound time-to-first-triple.
 
     Returns the stopped StreamingQuery after draining ``input_dir``.
     """
