@@ -237,25 +237,32 @@ def seeded_support(
     carry = path_k is not None
     # ``edges_collapsed=True``: the caller asserts (subj, obj) pairs are
     # already unique (no parallel edges), so the min-predicate collapse /
-    # distinct — a full edge-table exchange — is an identity and the
-    # materialization becomes a narrow scan. MEASURED (round 6, interleaved
-    # A/B at sf0.1, 1.18M edges): skipping the exchange is ~1.5 s SLOWER
-    # (6.78 vs 5.18 best) — the collapse shuffle leaves the checkpoint
-    # AQE-coalesced and hash-compacted, which the per-round BFS join then
-    # reuses. Keep the default; the flag exists for inputs where the
-    # exchange itself is the bottleneck (very wide raw edge tables whose
-    # collapse does not shrink them).
+    # distinct is an IDENTITY — but the exchange it rides on is not free to
+    # drop: round 6 measured that skipping it outright is ~1.5 s SLOWER at
+    # sf0.1 (6.78 vs 5.18 best) because the collapse shuffle leaves the
+    # checkpoint AQE-coalesced and hash-compacted for the per-round BFS
+    # joins. Round 7 splits the two effects: the collapsed branch keeps the
+    # compaction shuffle but as a keyed repartition — hash exchange with
+    # AQE coalescing, NO aggregate on top. That matters for the carry case,
+    # where min(predicate) over a string is a SortAggregate (immutable
+    # buffer type): both sides of a 12M-row exchange pay a sort to compute
+    # an identity. Measured at sf1 (evidence KG, 12M-row closure): the
+    # collapse alone costs ~3 s of the ~6 s edge-materialization phase.
     if carry:
         e = edges.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst"), "predicate"
         )
         if not edges_collapsed:
             e = e.groupBy("src", "dst").agg(F.min("predicate").alias("predicate"))
+        else:
+            e = e.repartition("src", "dst")
         e = e.localCheckpoint(eager=True)
     else:
         e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         if not edges_collapsed:
             e = e.distinct()
+        else:
+            e = e.repartition("src", "dst")
         e = e.localCheckpoint(eager=True)
     hop1 = roots.join(e, roots["root"] == e["src"])
     if carry:
