@@ -6,7 +6,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 import math
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 import __spark_entry__ as E
