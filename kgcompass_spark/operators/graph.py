@@ -694,10 +694,21 @@ def connected_components(
     out = parent.select(F.col("node"), F.col("comp").alias("component"))
     if spill_used and spill_dir is None:
         # ADVICE r6: reclaim the tempdir slots. The final parent may still
-        # read from a spill file, so cut that dependency first.
+        # read from a spill file, so cut that dependency not to delete a
+        # file a live plan reads.
         out = out.localCheckpoint(eager=True)
         for slot in (f"{spill_base}_0", f"{spill_base}_1"):
             shutil.rmtree(slot, ignore_errors=True)
+    # the checkpointed result has UNKNOWN stats downstream (ExistingRDD), so
+    # consumers joining the component table back against their node tables
+    # never get an auto-broadcast even when it is tiny. Hint it explicitly
+    # while it is small enough (a count on the checkpointed table is one
+    # cheap job): the in-loop gate already commits to broadcasting
+    # node-keyed tables of this size every round, so the hint adds no new
+    # memory envelope. Measured (round 7, sf1 g8): the singleton left join
+    # against all 1.5M orders drops its shuffle, ~1.5 s.
+    if small and out.count() <= 4_000_000:
+        out = F.broadcast(out)
     return out
 
 
